@@ -1,0 +1,283 @@
+"""Dataset readers: Charades-STA, ActivityNet-Captions, TACoS.
+
+Annotation formats and cleaning rules follow the reference
+(reference dataset.py:189-315):
+
+* Charades-STA: ``charades_sta_{split}.txt`` lines ``"<vid> <s> <e>##<query>"``
+  plus durations from ``Charades_v1_{split}.csv``; clamp s >= 0, e <= duration,
+  drop s >= e; per-video ``.npy`` I3D features (squeezed).
+* ActivityNet: ``{split}.json`` mapping vid -> {duration, timestamps,
+  sentences}; features from one HDF5 file under key ``[vid]['c3d_features']``.
+* TACoS: same JSON schema with frame-denominated times (divided by fps,
+  duration = num_frames / fps); features HDF5 key ``[vid]``.
+
+Differences from the reference (deliberate, performance/correctness):
+
+* HDF5 handles are opened once per thread (the reference reopened the file on
+  every __getitem__ call — dataset.py:274-275, a CPU bottleneck);
+* the word-embedding table is injected rather than downloaded at import time;
+* samples are assembled as flat float32 NumPy arrays (no torch), with the
+  training-jitter RNG passed in explicitly for reproducible resume.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import threading
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from video_moment_localization_tpu.data.glove import WordEmbedding
+from video_moment_localization_tpu.data.labels import (
+    boundary_penalties,
+    build_masks,
+    iou_target_map,
+    snippet_labels,
+)
+from video_moment_localization_tpu.data.sampler import sample_fixed_length_features
+from video_moment_localization_tpu.data.tokenizer import get_tokens
+
+# Keys of the fixed-shape tensor fields in a sample/batch (the reference's
+# collate list, dataset.py:77, minus torch-specific layout).
+TENSOR_KEYS = (
+    "video_features",
+    "video_mask",
+    "query_features",
+    "query_mask",
+    "length_mask",
+    "moment_mask",
+    "start_pos",
+    "end_pos",
+    "sm",
+    "ym",
+    "ss",
+    "ys",
+    "se",
+    "ye",
+    "ya",
+)
+
+
+class MomentDataset:
+    """Base dataset: annotations + per-sample feature/label assembly."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        T: int,
+        L: int,
+        max_query_length: int,
+        split: str,
+        embedding: WordEmbedding,
+    ):
+        self.data_dir = data_dir
+        self.T = T
+        self.L = L
+        self.max_query_length = max_query_length
+        self.split = split
+        self.embedding = embedding
+        self.annotations: List[Dict[str, Any]] = []
+        self._local = threading.local()
+
+    def __len__(self) -> int:
+        return len(self.annotations)
+
+    # ------------------------------------------------------------------ #
+    def _encode_query(self, query: str):
+        tokens = get_tokens(query)
+        token_ids, feats = self.embedding.encode(tokens, self.max_query_length)
+        return token_ids, feats
+
+    def _load_video_features(self, vid: str) -> np.ndarray:
+        raise NotImplementedError("subclasses must load raw clip features")
+
+    # ------------------------------------------------------------------ #
+    def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
+        """Assemble one training/eval sample as a dict of float32 arrays.
+
+        Mirrors the reference __getitem__ (dataset.py:129-187) but without
+        the leading singleton batch dim (batching stacks along a new axis).
+        """
+        ann = self.annotations[index]
+        vid = ann["video_id"]
+        spos, epos = ann["times"]
+        duration = ann["duration"]
+        spos_n = spos / duration
+        epos_n = epos / duration
+
+        raw = self._load_video_features(vid)
+        video_features, nfeats, start_index, end_index = sample_fixed_length_features(
+            raw, self.T, spos_n, epos_n, train=(self.split == "train"), rng=rng
+        )
+        video_mask, length_mask, moment_mask = build_masks(nfeats, self.T, self.L)
+
+        ious = iou_target_map(spos, epos, duration, self.L)
+        s_s, s_e = boundary_penalties(spos, epos, duration, self.L)
+        y_a = snippet_labels(spos, epos, duration, self.L)
+
+        return {
+            "video_id": vid,
+            "times": ann["times"],
+            "duration": duration,
+            "start_index": start_index,
+            "end_index": end_index,
+            "video_features": video_features,                       # (T, dv)
+            "video_mask": video_mask,                               # (T, 1)
+            "start_pos": np.float32(spos_n),
+            "end_pos": np.float32(epos_n),
+            "query_features": ann["query_features"],                # (Nq, 300)
+            "query_mask": self.embedding.query_mask(ann["token_ids"])[:, None],  # (Nq, 1)
+            "length_mask": length_mask,                             # (L,)
+            "moment_mask": moment_mask,                             # (L, L)
+            "sm": ious,                                             # (L, L)
+            "ym": (ious > 0.5).astype(np.float32),
+            "ss": s_s,                                              # (L,)
+            "ys": (s_s > 0.5).astype(np.float32),
+            "se": s_e,
+            "ye": (s_e > 0.5).astype(np.float32),
+            "ya": y_a,
+        }
+
+    # JSON-schema annotation loader shared by ActivityNet/TACoS.
+    def _load_json_annotations(self, ann_path: str, frame_times: bool) -> List[Dict[str, Any]]:
+        with open(ann_path, "r") as f:
+            anns = json.load(f)
+        annotations = []
+        for vid, ann in anns.items():
+            if frame_times:
+                fps = ann["fps"]
+                duration = ann["num_frames"] / fps
+            else:
+                duration = ann["duration"]
+            for (spos, epos), query in zip(ann["timestamps"], ann["sentences"]):
+                if frame_times:
+                    spos, epos = spos / fps, epos / fps
+                spos = max(spos, 0)
+                epos = min(epos, duration)
+                if spos < epos:
+                    token_ids, feats = self._encode_query(query)
+                    annotations.append(
+                        {
+                            "video_id": vid,
+                            "times": [spos, epos],
+                            "duration": duration,
+                            "query": query,
+                            "token_ids": token_ids,
+                            "query_features": feats,
+                        }
+                    )
+        return annotations
+
+
+class CharadesSTA(MomentDataset):
+    """Charades-STA: per-video .npy I3D features + txt/csv annotations."""
+
+    DEFAULTS = dict(T=64, L=16, max_query_length=13)
+
+    def __init__(self, data_dir="data/charades", T=64, L=16, max_query_length=13,
+                 split="train", embedding: Optional[WordEmbedding] = None):
+        super().__init__(data_dir, T, L, max_query_length, split,
+                         embedding or WordEmbedding.load())
+        self.feature_path = os.path.join(data_dir, "features/i3d_finetuned/{}.npy")
+        ann_path = os.path.join(data_dir, f"annotations/charades_sta_{split}.txt")
+        aux_path = os.path.join(data_dir, f"annotations/Charades_v1_{split}.csv")
+        self.annotations = self._load_annotations(ann_path, aux_path)
+
+    def _load_annotations(self, ann_path: str, aux_path: str) -> List[Dict[str, Any]]:
+        with open(ann_path, "r") as f:
+            lines = f.read().strip().split("\n")
+        with open(aux_path) as f:
+            durations = {row["id"]: float(row["length"]) for row in csv.DictReader(f)}
+        annotations = []
+        for line in lines:
+            info, query = line.split("##")
+            vid, spos, epos = info.split(" ")
+            duration = durations[vid]
+            spos = max(float(spos), 0)
+            epos = min(float(epos), duration)  # some GT ends exceed duration
+            if spos < epos:  # a handful of inverted spans exist upstream
+                token_ids, feats = self._encode_query(query)
+                annotations.append(
+                    {
+                        "video_id": vid,
+                        "times": [spos, epos],
+                        "duration": duration,
+                        "query": query,
+                        "token_ids": token_ids,
+                        "query_features": feats,
+                    }
+                )
+        return annotations
+
+    def _load_video_features(self, vid: str) -> np.ndarray:
+        return np.load(self.feature_path.format(vid)).squeeze()
+
+
+class _Hdf5Dataset(MomentDataset):
+    """Shared HDF5 feature reading with one handle per thread."""
+
+    feature_file: str
+
+    def _h5(self):
+        import h5py  # local import: keep h5py optional for npy-only datasets
+
+        handle = getattr(self._local, "h5", None)
+        if handle is None:
+            handle = h5py.File(self.feature_file, "r")
+            self._local.h5 = handle
+        return handle
+
+
+class ActivityNet(_Hdf5Dataset):
+    """ActivityNet-Captions: C3D features in one HDF5, JSON annotations."""
+
+    DEFAULTS = dict(T=128, L=64, max_query_length=20)
+
+    def __init__(self, data_dir="data/activitynet", T=128, L=64, max_query_length=20,
+                 split="train", embedding: Optional[WordEmbedding] = None):
+        super().__init__(data_dir, T, L, max_query_length, split,
+                         embedding or WordEmbedding.load())
+        self.feature_file = os.path.join(data_dir, "sub_activitynet_v1-3.c3d.hdf5")
+        self.annotations = self._load_json_annotations(
+            os.path.join(data_dir, f"{split}.json"), frame_times=False
+        )
+
+    def _load_video_features(self, vid: str) -> np.ndarray:
+        return np.asarray(self._h5()[vid]["c3d_features"][:])
+
+
+class TACoS(_Hdf5Dataset):
+    """TACoS: C3D features in one HDF5, frame-time JSON annotations."""
+
+    DEFAULTS = dict(T=128, L=32, max_query_length=14)
+
+    def __init__(self, data_dir="data/tacos", T=128, L=32, max_query_length=14,
+                 split="train", embedding: Optional[WordEmbedding] = None):
+        super().__init__(data_dir, T, L, max_query_length, split,
+                         embedding or WordEmbedding.load())
+        self.feature_file = os.path.join(data_dir, "tall_c3d_features.hdf5")
+        self.annotations = self._load_json_annotations(
+            os.path.join(data_dir, f"{split}.json"), frame_times=True
+        )
+
+    def _load_video_features(self, vid: str) -> np.ndarray:
+        return np.asarray(self._h5()[vid][:])
+
+
+_DATASETS = {
+    "charadessta": CharadesSTA,
+    "activitynet": ActivityNet,
+    "tacos": TACoS,
+}
+
+
+def get_dataset_class(name: str):
+    """Dataset-name -> class factory (reference main.py:30-41 semantics)."""
+    try:
+        return _DATASETS[name]
+    except KeyError:
+        raise ValueError(f"Dataset {name!r} is not a valid dataset! "
+                         f"Choose from {sorted(_DATASETS)}")
