@@ -1,0 +1,319 @@
+"""SMIN (Structured Multi-level Interaction Network), TPU-native.
+
+Pure-functional pytree modules: `init_smin_params(key, cfg)` builds the
+parameter pytree, `smin_forward(params, cfg, batch...)` is a jit/pjit-able
+function of (params, arrays). Semantics match the reference module-for-module
+(citations per function); layout and execution are XLA-first:
+
+* 1x1 convs are pointwise matmuls over the channel axis (MXU-friendly, no
+  NCHW permutes);
+* the proposal map comes from the fused prefix-sum/Pallas op
+  (ops/proposal.py) instead of a dense einsum against Wc;
+* all masking follows the reference's three distinct patterns exactly
+  (pre-softmax -1e9 fill in boundary/word attention, post-softmax multiply
+  in the intra-moment clip attention) — SURVEY.md "masking subtleties";
+* activations can run in bfloat16 (cfg.compute_dtype) with fp32 parameters
+  and fp32 scoring heads.
+
+Parameter tree (torch-portable; see models/port.py):
+  video_encoder: {ve: {w (dv,D), b}, pe (T,D)}
+  query_encoder: [per layer {fwd|bwd: {w_ih, w_hh, b_ih, b_hh}}]
+  smi: [per layer {content: {...}, boundary: {...}, moment: {...}}]
+  localization: {pm|ps|pe|pa: {w (D,1), b (1,)}}
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_moment_localization_tpu.config import ModelConfig
+from video_moment_localization_tpu.models.lstm import bilstm, init_bilstm_params
+from video_moment_localization_tpu.ops.proposal import proposal_features
+
+Params = Dict[str, Any]
+
+_NEG_INF = -1e9
+
+
+# --------------------------------------------------------------------- #
+# Initialization (torch-default distributions for drop-in parity)
+# --------------------------------------------------------------------- #
+def _linear_init(key, in_dim: int, out_dim: int) -> Params:
+    """W, b ~ U(-1/sqrt(in), 1/sqrt(in)) — torch Linear/1x1-conv default."""
+    bound = 1.0 / math.sqrt(in_dim)
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(k1, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(k2, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    dtype = x.dtype
+    return x @ p["w"].astype(dtype) + p["b"].astype(dtype)
+
+
+def init_smin_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    D, dl = cfg.D, cfg.dl
+    keys = jax.random.split(key, 4 + cfg.num_smi_layers)
+
+    video_encoder = {
+        "ve": _linear_init(keys[0], cfg.input_video_dim, D),
+        # Learned positional embedding, N(0,1) like torch nn.Embedding
+        # (the reference deviates from the paper here too — models.py:29-31).
+        "pe": jax.random.normal(keys[1], (cfg.T, D), jnp.float32),
+    }
+    query_encoder = init_bilstm_params(keys[2], cfg.word_dim, cfg.lstm_hidden_size, 2)
+
+    smi = []
+    for i in range(cfg.num_smi_layers):
+        k = jax.random.split(keys[4 + i], 9)
+        smi.append(
+            {
+                "content": {
+                    "c_hat": _linear_init(k[0], D, dl),
+                    "w_hat": _linear_init(k[1], D, dl),
+                    "s_hat": _linear_init(k[2], D, dl),
+                    "c_out": _linear_init(k[3], dl, D),
+                    "attn_q": _linear_init(k[4], dl, dl),
+                    "attn_k": _linear_init(k[5], dl, dl),
+                },
+                "boundary": {
+                    "attn_q": _linear_init(k[6], D, D),
+                    "attn_k": _linear_init(k[7], D, D),
+                },
+                "moment": {
+                    "conv_fb": _linear_init(k[8], D, D),
+                    "conv_fc": _linear_init(jax.random.fold_in(k[8], 1), D, D),
+                },
+            }
+        )
+
+    lk = jax.random.split(keys[3], 4)
+    localization = {
+        "pm": _linear_init(lk[0], D, 1),
+        "ps": _linear_init(lk[1], D, 1),
+        "pe": _linear_init(lk[2], D, 1),
+        "pa": _linear_init(lk[3], D, 1),
+    }
+    return {
+        "video_encoder": video_encoder,
+        "query_encoder": query_encoder,
+        "smi": smi,
+        "localization": localization,
+    }
+
+
+# --------------------------------------------------------------------- #
+# Backbone: encoders + cross-modal Hadamard fusion
+# --------------------------------------------------------------------- #
+def video_encoder(p: Params, video_features: jnp.ndarray, video_mask: jnp.ndarray):
+    """Linear projection + learned positional embedding, both masked.
+
+    Reference: models.py:7-36 (VideoEncoder).
+    video_features (B, T, dv), video_mask (B, T, 1) -> (B, T, D).
+    """
+    dtype = video_features.dtype
+    mask = video_mask.astype(dtype)
+    x = _linear(p["ve"], video_features) * mask
+    return x + p["pe"].astype(dtype)[None] * mask
+
+
+def query_encoder(p: Params, query_features: jnp.ndarray, query_mask: jnp.ndarray,
+                  hidden_size: int):
+    """biLSTM sentence/word features.
+
+    Reference: models.py:38-64 (QueryEncoder): fs = [last valid forward
+    state, backward state at t=0], fw = padded per-word outputs.
+    """
+    mask = query_mask[..., 0]                                   # (B, Nq)
+    fw = bilstm(query_features, mask, p)                        # (B, Nq, 2H)
+    lengths = jnp.maximum(mask.sum(axis=1).astype(jnp.int32), 1)
+    idx = (lengths - 1)[:, None, None]                          # (B, 1, 1)
+    f_fwd = jnp.take_along_axis(
+        fw[..., :hidden_size], jnp.broadcast_to(idx, (fw.shape[0], 1, hidden_size)), axis=1
+    )[:, 0, :]
+    f_bwd = fw[:, 0, hidden_size:]
+    fs = jnp.concatenate([f_fwd, f_bwd], axis=-1)               # (B, 2H)
+    return fs, fw
+
+
+def backbone(p: Params, cfg: ModelConfig, video_features, video_mask,
+             query_features, query_mask):
+    """Cross-modal fusion f = fv * fs (reference models.py:66-83)."""
+    fv = video_encoder(p["video_encoder"], video_features, video_mask)
+    fs, fw = query_encoder(p["query_encoder"], query_features, query_mask,
+                           cfg.lstm_hidden_size)
+    f = fv * fs[:, None, :]
+    return f, fs, fw
+
+
+# --------------------------------------------------------------------- #
+# Attention primitives
+# --------------------------------------------------------------------- #
+def word_attention(p: Params, query, key, value, key_mask):
+    """Single-head scaled-dot attention, raw value passthrough (no W_v).
+
+    Reference: models.py:128-154 (Attention). Key mask applied as
+    pre-softmax -1e9 fill. query (B, Lq, D), key/value (B, Lk, D),
+    key_mask (B, Lk, 1).
+    """
+    D = query.shape[-1]
+    q = _linear(p["attn_q"], query)
+    k = _linear(p["attn_k"], key)
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) / math.sqrt(D)
+    m = key_mask[..., 0][:, None, :].astype(logits.dtype)       # (B, 1, Lk)
+    logits = jnp.where(m > 0, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", weights, value)
+
+
+def content_attention(p: Params, query5, key, value, key_mask):
+    """Word attention broadcast over the (L, L, C) proposal-clip grid.
+
+    Reference: models.py:198-226 (ContentAttention).
+    query5 (B, L, L, C, dl), key/value (B, Nq, dl), key_mask (B, Nq, 1).
+    """
+    dl = query5.shape[-1]
+    q = _linear(p["attn_q"], query5)
+    k = _linear(p["attn_k"], key)
+    logits = jnp.einsum("blmcd,bnd->blmcn", q, k) / math.sqrt(dl)
+    m = key_mask[..., 0][:, None, None, None, :].astype(logits.dtype)
+    logits = jnp.where(m > 0, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)                   # (B, L, L, C, Nq)
+    return jnp.einsum("blmcn,bnd->blmcd", weights, value)
+
+
+# --------------------------------------------------------------------- #
+# SMI units
+# --------------------------------------------------------------------- #
+def boundary_unit(p: Params, f_b, f_w, f_s, f_m, query_mask, length_mask):
+    """Query-guided boundary refinement + moment->boundary message.
+
+    Reference: models.py:156-196 (BoundaryUnit), including the row-mask /
+    fill / post-multiply ordering of A_b.
+    """
+    D = f_b.shape[-1]
+    dtype = f_b.dtype
+    f_b_mask = length_mask[..., None].astype(dtype)             # (B, L, 1)
+
+    f_baq = word_attention(p, f_b, f_w, f_w, query_mask) * f_b_mask
+    f_bq = f_b * (f_baq + f_s[:, None, :])
+    logits = jnp.einsum("bid,bjd->bij", f_bq, f_bq) / math.sqrt(D)
+    key_m = length_mask[:, None, :].astype(dtype)               # (B, 1, L)
+    logits = jnp.where(key_m > 0, logits, _NEG_INF)
+    A_b = jax.nn.softmax(logits, axis=-1) * f_b_mask            # (B, L, L)
+
+    f_bb = jnp.einsum("bij,bjd->bid", A_b, f_b) * f_b_mask
+
+    g_m = jax.nn.sigmoid(f_m * f_s[:, None, None, :])           # (B, L, L, D)
+    f_bm = jnp.einsum("bij,bijd->bid", A_b, g_m * f_m)
+    return f_bb + f_b + f_bm
+
+
+def content_unit(p: Params, f_c, f_w, f_s, f_m, query_mask, moment_mask):
+    """Query-guided content refinement + intra-moment clip self-attention.
+
+    Reference: models.py:228-276 (ContentUnit). NB: the clip self-attention
+    softmax is NOT masked inside — the mask multiplies afterwards
+    (models.py:262-263); replicated deliberately.
+    """
+    dl = p["c_hat"]["w"].shape[1]
+    dtype = f_c.dtype
+    f_c_mask = moment_mask[..., None, None].astype(dtype)       # (B, L, L, 1, 1)
+    q_mask = query_mask.astype(dtype)
+
+    f_c_hat = _linear(p["c_hat"], f_c) * f_c_mask               # (B, L, L, C, dl)
+    f_w_hat = _linear(p["w_hat"], f_w) * q_mask                 # (B, Nq, dl)
+    f_s_hat = _linear(p["s_hat"], f_s)                          # (B, dl)
+
+    f_caq = content_attention(p, f_c_hat, f_w_hat, f_w_hat, query_mask) * f_c_mask
+    f_cq = f_c_hat * (f_caq + f_s_hat[:, None, None, None, :])
+    A_c = jnp.einsum("blmcd,blmed->blmce", f_cq, f_cq) / math.sqrt(dl)
+    A_c = jax.nn.softmax(A_c, axis=-1) * f_c_mask               # post-softmax mask
+
+    f_cc_hat = jnp.einsum("blmce,blmed->blmcd", A_c, f_c_hat)
+    f_cc = _linear(p["c_out"], f_cc_hat) * f_c_mask             # (B, L, L, C, D)
+
+    g_m = jax.nn.sigmoid(f_m * f_s[:, None, None, :])
+    fbar_m = g_m * f_m                                          # (B, L, L, D)
+    return f_cc + f_c + fbar_m[:, :, :, None, :]
+
+
+def moment_unit(p: Params, f_c, f_m, f_b, moment_mask):
+    """Boundary outer-product + content-mean fusion into the moment map.
+
+    Reference: models.py:278-303 (MomentUnit). The 1x1 Conv2d's are
+    pointwise channel matmuls — no layout permutes needed on TPU.
+    """
+    dtype = f_m.dtype
+    f_m_mask = moment_mask[..., None].astype(dtype)             # (B, L, L, 1)
+    outer = f_b[:, :, None, :] * f_b[:, None, :, :]             # (B, L, L, D)
+    conv_fb = _linear(p["conv_fb"], outer) * f_m_mask
+    conv_fc = _linear(p["conv_fc"], jnp.mean(f_c, axis=3)) * f_m_mask
+    return conv_fb + conv_fc + f_m
+
+
+def smi_block(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask, length_mask, moment_mask):
+    """One interaction block (reference models.py:305-322): the moment unit
+    consumes the *updated* content/boundary but the *previous* f_m."""
+    cu = content_unit(p["content"], f_c, f_w, f_s, f_m, query_mask, moment_mask)
+    bu = boundary_unit(p["boundary"], f_b, f_w, f_s, f_m, query_mask, length_mask)
+    mu = moment_unit(p["moment"], cu, f_m, bu, moment_mask)
+    return cu, mu, bu
+
+
+# --------------------------------------------------------------------- #
+# Heads
+# --------------------------------------------------------------------- #
+def localization(p: Params, f_m, f_b, length_mask, moment_mask):
+    """Four sigmoid 1x1-conv heads (reference models.py:324-344).
+
+    Scores are computed in fp32 regardless of compute dtype.
+    """
+    f_m32, f_b32 = f_m.astype(jnp.float32), f_b.astype(jnp.float32)
+    lm = length_mask.astype(jnp.float32)
+    mm = moment_mask.astype(jnp.float32)
+    p_m = jax.nn.sigmoid(_linear(p["pm"], f_m32))[..., 0] * mm   # (B, L, L)
+    p_s = jax.nn.sigmoid(_linear(p["ps"], f_b32))[..., 0] * lm   # (B, L)
+    p_e = jax.nn.sigmoid(_linear(p["pe"], f_b32))[..., 0] * lm
+    p_a = jax.nn.sigmoid(_linear(p["pa"], f_b32))[..., 0] * lm
+    return p_m, p_s, p_e, p_a
+
+
+# --------------------------------------------------------------------- #
+# Full model
+# --------------------------------------------------------------------- #
+def smin_forward(
+    params: Params,
+    cfg: ModelConfig,
+    video_features: jnp.ndarray,   # (B, T, dv)
+    video_mask: jnp.ndarray,       # (B, T, 1)
+    query_features: jnp.ndarray,   # (B, Nq, word_dim)
+    query_mask: jnp.ndarray,       # (B, Nq, 1)
+    length_mask: jnp.ndarray,      # (B, L)
+    moment_mask: jnp.ndarray,      # (B, L, L)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward pass -> (pm (B,L,L), ps, pe, pa (B,L)), all fp32 in [0, 1].
+
+    Reference: models.py:346-377 (SMIN.forward).
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    vf = video_features.astype(dtype)
+    qf = query_features.astype(dtype)
+
+    f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
+    fc, fm, fb = proposal_features(f, moment_mask, cfg.L, cfg.C)
+
+    block = smi_block
+    if cfg.remat_smi:
+        block = jax.checkpoint(smi_block, static_argnums=())
+    for p_layer in params["smi"]:
+        fc, fm, fb = block(p_layer, fc, fm, fb, fw, fs,
+                           query_mask, length_mask, moment_mask)
+
+    return localization(params["localization"], fm, fb, length_mask, moment_mask)
