@@ -1,0 +1,66 @@
+"""Benchmark: query-video pairs scored per second per chip (north star).
+
+Measures the full inference scoring path on the flagship Charades-STA-scale
+SMIN (B=64, T=64, L=16, C=4, D=512, 3 SMI layers): forward pass + final
+proposal scores pm*sqrt(ps)*sqrt(pe) + masked top-k — the same work the
+reference does per eval batch (reference models.py forward + utils.py:10-31).
+
+Baseline: the PyTorch reference measured in this environment on CPU
+(1 vCPU, torch 2.x single thread): 9.94 pairs/s at identical shapes
+(forward + compute_ious, batch 64, eval mode). BASELINE.json target is
+>= 10x that on one TPU chip.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
+
+B = 64
+ITERS = 30
+
+
+def main() -> None:
+    from __graft_entry__ import _charades_cfg, _synthetic_arrays
+    from video_moment_localization_tpu.models import init_smin_params, smin_forward
+    from video_moment_localization_tpu.train.metrics import recall_counts
+
+    cfg = _charades_cfg()
+    params = init_smin_params(jax.random.PRNGKey(0), cfg)
+    vf, vm, qf, qm, lm, mm = _synthetic_arrays(cfg, B=B)
+    rng = np.random.default_rng(0)
+    sm = jax.numpy.asarray(rng.uniform(0, 1, (B, cfg.L, cfg.L)).astype(np.float32))
+
+    @jax.jit
+    def score_batch(params, vf, vm, qf, qm, lm, mm, sm):
+        pm, ps, pe, _ = smin_forward(params, cfg, vf, vm, qf, qm, lm, mm)
+        return recall_counts(pm, ps, pe, mm, sm)
+
+    # Warmup / compile.
+    score_batch(params, vf, vm, qf, qm, lm, mm, sm).block_until_ready()
+    score_batch(params, vf, vm, qf, qm, lm, mm, sm).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = score_batch(params, vf, vm, qf, qm, lm, mm, sm)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = ITERS * B / dt
+    print(json.dumps({
+        "metric": "query_video_pairs_scored_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

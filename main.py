@@ -1,0 +1,77 @@
+"""CLI entry point — public surface matches the reference
+(`python main.py --config_path config/<dataset>.yml [--num_epochs N] [--test]`,
+reference main.py:13-28, 278-313), with TPU-native extensions:
+`--nms` (soft-NMS eval), `--num_devices N` (data-parallel mesh width),
+`--compute_dtype bfloat16`, `--profile_dir <dir>` (jax.profiler trace).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+# `JAX_PLATFORMS=cpu python main.py ...` works as users expect.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from video_moment_localization_tpu.config import load_config
+from video_moment_localization_tpu.data.pipeline import BatchLoader
+from video_moment_localization_tpu.train.trainer import Trainer, build_datasets
+
+
+def get_parameters() -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", default="config/charadessta.yml",
+                        help="Path to config file.")
+    parser.add_argument("--num_epochs", default=0, type=int,
+                        help="Number of epochs to override value in the config.")
+    parser.add_argument("--test", default=False, action="store_true",
+                        help="Test the saved model for this config.")
+    # TPU-native extensions (not in the reference CLI):
+    parser.add_argument("--nms", default=False, action="store_true",
+                        help="Use soft-NMS proposal selection at eval.")
+    parser.add_argument("--num_devices", default=None, type=int,
+                        help="Data-parallel device count (default: all).")
+    parser.add_argument("--compute_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Activation compute dtype.")
+    parser.add_argument("--profile_dir", default=None,
+                        help="Write a jax.profiler trace to this directory.")
+    return parser.parse_args()
+
+
+def main() -> None:
+    args = get_parameters()
+    cfg = load_config(args.config_path, num_epochs_override=args.num_epochs)
+    cfg.nms = args.nms
+    cfg.num_devices = args.num_devices
+    cfg.profile_dir = args.profile_dir
+    if args.compute_dtype:
+        cfg.model = dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype)
+
+    trainer = Trainer(cfg)
+
+    if not args.test:
+        train_ds, eval_ds = build_datasets(cfg)
+        train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                                   num_workers=cfg.num_workers, seed=cfg.seed)
+        eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False,
+                                  num_workers=cfg.num_workers, seed=cfg.seed)
+        trainer.fit(train_loader, eval_loader)
+    else:
+        test_ds = build_datasets(cfg, test_only=True)
+        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False,
+                                  num_workers=cfg.num_workers, seed=cfg.seed)
+        trainer.load_for_test()
+        metrics = trainer.evaluate(test_loader)
+        for k, v in metrics.items():
+            print(f"{k} - {v}")
+        print(f"throughput - {trainer.timer.throughput:.1f} query-video pairs/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""SPMD train/eval steps: one jit-compiled executable each.
+
+Each step fuses forward + loss (+ backward + Adam update for training) +
+on-device R@n,IoU@m metric counts (reference spreads these across
+main.py:135-211 with per-batch host sync; here a step returns only a few
+scalars/small arrays, so host<->device traffic per step is O(batch) in and
+O(1) out).
+
+Under a multi-device mesh the batch arrives sharded on the ``data`` axis and
+params replicated; XLA all-reduces the gradients over ICI automatically.
+Params/opt-state buffers are donated — Adam runs in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_moment_localization_tpu.config import ModelConfig
+from video_moment_localization_tpu.models import smin_forward
+from video_moment_localization_tpu.train.loss import smin_loss
+from video_moment_localization_tpu.train.metrics import recall_counts
+
+Batch = Dict[str, jnp.ndarray]
+
+_FORWARD_KEYS = ("video_features", "video_mask", "query_features",
+                 "query_mask", "length_mask", "moment_mask")
+
+
+def _forward(params, cfg: ModelConfig, batch: Batch):
+    return smin_forward(params, cfg, *(batch[k] for k in _FORWARD_KEYS))
+
+
+def _step_metrics(outputs, loss, aux, batch: Batch, use_nms: bool, nms_sigma: float):
+    pm, ps, pe, _ = outputs
+    counts = recall_counts(
+        pm, ps, pe, batch["moment_mask"], batch["sm"], batch.get("sample_mask"),
+        use_nms=use_nms, nms_sigma=nms_sigma,
+    )
+    return {
+        "loss": loss,
+        "num_valid": aux["num_valid"],
+        "counts": counts,
+    }
+
+
+def make_train_step(
+    cfg: ModelConfig, optimizer: optax.GradientTransformation
+) -> Callable[[Any, Any, Batch], Tuple[Any, Any, Dict[str, jnp.ndarray]]]:
+    """Returns jitted (params, opt_state, batch) -> (params, opt_state, metrics)."""
+
+    def train_step(params, opt_state, batch: Batch):
+        def loss_fn(p):
+            outputs = _forward(p, cfg, batch)
+            loss, aux = smin_loss(outputs, batch)
+            return loss, (outputs, aux)
+
+        (loss, (outputs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = _step_metrics(outputs, loss, aux, batch, False, 0.0)
+        return params, opt_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_eval_step(
+    cfg: ModelConfig, use_nms: bool = False, nms_sigma: float = 0.5
+) -> Callable[[Any, Batch], Dict[str, jnp.ndarray]]:
+    """Returns jitted (params, batch) -> metrics (loss + recall counts)."""
+
+    def eval_step(params, batch: Batch):
+        outputs = _forward(params, cfg, batch)
+        loss, aux = smin_loss(outputs, batch)
+        return _step_metrics(outputs, loss, aux, batch, use_nms, nms_sigma)
+
+    return jax.jit(eval_step)

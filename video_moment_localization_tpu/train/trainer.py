@@ -1,0 +1,200 @@
+"""Training/eval/test orchestration.
+
+Public behavior mirrors the reference orchestration (reference
+main.py:135-276): per-epoch stdout lines, cumulative
+``{experiment}_stats.json`` rewritten every epoch with
+epoch/train_loss/eval_loss/train_<metric>/eval_<metric> arrays, a single
+overwritten checkpoint per experiment, and resume-at-epoch+1 semantics.
+Charades-STA evaluates on its test split (it has no val split —
+reference main.py:45-47).
+
+TPU-native differences: one fused jit step for train and one for eval
+(forward+loss+metrics on device; training adds backward+Adam in the same
+executable), data-parallel sharding over a device mesh, padded fixed-shape
+batches, and an optional soft-NMS eval mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import optax
+
+from video_moment_localization_tpu.config import Config
+from video_moment_localization_tpu.data.datasets import get_dataset_class
+from video_moment_localization_tpu.data.glove import WordEmbedding
+from video_moment_localization_tpu.data.pipeline import BatchLoader
+from video_moment_localization_tpu.models import init_smin_params
+from video_moment_localization_tpu.parallel.mesh import make_mesh, put_batch, put_replicated
+from video_moment_localization_tpu.parallel.steps import make_eval_step, make_train_step
+from video_moment_localization_tpu.train.metrics import METRIC_MS, METRIC_NS, counts_to_dict
+from video_moment_localization_tpu.utils.checkpoint import (
+    checkpoint_paths,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from video_moment_localization_tpu.utils.profiling import StepTimer, trace_context
+
+
+def build_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Optimizer factory (reference main.py:77-87: Adam only)."""
+    if cfg.optimizer == "Adam":
+        return optax.adam(cfg.lr)
+    raise ValueError(f"Optimizer {cfg.optimizer!r} is not supported!")
+
+
+def build_datasets(cfg: Config, embedding: Optional[WordEmbedding] = None,
+                   test_only: bool = False):
+    """Split factories (reference main.py:43-55)."""
+    cls = get_dataset_class(cfg.dataset)
+    emb = embedding or WordEmbedding.load(
+        os.path.join(cfg.data_dir, "glove/glove.6B.300d.txt")
+        if os.path.exists(os.path.join(cfg.data_dir, "glove/glove.6B.300d.txt"))
+        else None
+    )
+    m = cfg.model
+    kw = dict(data_dir=cfg.data_dir, T=m.T, L=m.L,
+              max_query_length=m.max_query_length, embedding=emb)
+    if test_only:
+        return cls(split="test", **kw)
+    train = cls(split="train", **kw)
+    eval_split = "test" if cfg.dataset == "charadessta" else "val"
+    evald = cls(split=eval_split, **kw)
+    return train, evald
+
+
+class Trainer:
+    """Owns params/opt-state, the compiled steps, and the epoch loop."""
+
+    def __init__(self, cfg: Config, embedding: Optional[WordEmbedding] = None):
+        self.cfg = cfg
+        if cfg.num_devices is None:
+            # Default: the most devices that evenly divide the global batch.
+            n = len(jax.devices())
+            while cfg.batch_size % n != 0:
+                n -= 1
+            self.mesh = make_mesh(n)
+        else:
+            self.mesh = make_mesh(cfg.num_devices)
+            if cfg.batch_size % self.mesh.size != 0:
+                raise ValueError(
+                    f"batch_size ({cfg.batch_size}) must be divisible by the "
+                    f"number of devices ({self.mesh.size})"
+                )
+        self.embedding = embedding
+        self.optimizer = build_optimizer(cfg)
+        params = init_smin_params(jax.random.PRNGKey(cfg.seed), cfg.model)
+        self.params = put_replicated(params, self.mesh)
+        self.opt_state = put_replicated(self.optimizer.init(params), self.mesh)
+        self.train_step = make_train_step(cfg.model, self.optimizer)
+        self.eval_step = make_eval_step(cfg.model)
+        self.test_step = make_eval_step(cfg.model, use_nms=cfg.nms,
+                                        nms_sigma=cfg.nms_sigma)
+        self.model_path, self.stats_path = checkpoint_paths(
+            cfg.checkpoint_path, cfg.experiment
+        )
+        self.timer = StepTimer()
+
+    # ------------------------------------------------------------------ #
+    def _run_epoch(self, loader: BatchLoader, epoch: int, train: bool,
+                   step_fn=None) -> Tuple[float, Dict[str, float]]:
+        """One pass over a loader; returns (avg loss, normalized metrics)."""
+        loss_sum, counts_sum, num = 0.0, None, 0.0
+        step_fn = step_fn or (self.train_step if train else self.eval_step)
+        for batch in loader.epoch(epoch):
+            device = put_batch(batch, self.mesh)
+            self.timer.start()
+            if train:
+                self.params, self.opt_state, m = step_fn(
+                    self.params, self.opt_state, device
+                )
+            else:
+                m = step_fn(self.params, device)
+            n_valid = float(m["num_valid"])
+            self.timer.stop(int(n_valid))
+            loss_sum += float(m["loss"]) * n_valid
+            counts = np.asarray(m["counts"])
+            counts_sum = counts if counts_sum is None else counts_sum + counts
+            num += n_valid
+        metrics = counts_to_dict(counts_sum / max(num, 1.0)) if counts_sum is not None else {}
+        return loss_sum / max(num, 1.0), metrics
+
+    # ------------------------------------------------------------------ #
+    def _existing_stats(self, start_epoch: int) -> Dict[str, list]:
+        """Truncate a prior stats file to completed epochs on resume
+        (reference main.py:220-229)."""
+        stats = defaultdict(list)
+        if self.cfg.resume_training and os.path.exists(self.stats_path):
+            with open(self.stats_path) as f:
+                for key, val in json.load(f).items():
+                    stats[key] = val[: start_epoch - 1]
+        return stats
+
+    def maybe_resume(self) -> int:
+        """Load checkpoint if resume_training is set; return start epoch."""
+        if not self.cfg.resume_training:
+            return 1
+        restored = restore_checkpoint(
+            self.model_path,
+            jax.tree.map(np.asarray, self.params),
+            jax.tree.map(np.asarray, self.opt_state),
+        )
+        if restored is None:
+            return 1
+        self.params = put_replicated(restored["params"], self.mesh)
+        self.opt_state = put_replicated(restored["opt_state"], self.mesh)
+        return restored["epoch"] + 1
+
+    def load_for_test(self) -> None:
+        restored = restore_checkpoint(
+            self.model_path,
+            jax.tree.map(np.asarray, self.params),
+            jax.tree.map(np.asarray, self.opt_state),
+        )
+        if restored is None:
+            raise FileNotFoundError(f"No saved model at {self.model_path}!")
+        self.params = put_replicated(restored["params"], self.mesh)
+
+    # ------------------------------------------------------------------ #
+    def fit(self, train_loader: BatchLoader, eval_loader: BatchLoader) -> None:
+        start_epoch = self.maybe_resume()
+        stats = self._existing_stats(start_epoch)
+
+        with trace_context(self.cfg.profile_dir):
+            for epoch in range(start_epoch, self.cfg.num_epochs + 1):
+                print(f"Training Epoch - {epoch}")
+                self.timer.reset()
+                train_loss, train_metrics = self._run_epoch(train_loader, epoch, True)
+                train_tput = self.timer.throughput
+                eval_loss, eval_metrics = self._run_epoch(eval_loader, epoch, False)
+
+                print(f"Training Loss - {train_loss:.4f}, Eval Loss - {eval_loss:.4f}")
+                for k, v in train_metrics.items():
+                    print(f"train_{k} - {v}")
+                for k, v in eval_metrics.items():
+                    print(f"eval_{k} - {v}")
+                print(f"throughput - {train_tput:.1f} query-video pairs/s (train)")
+
+                stats["epoch"].append(epoch)
+                stats["train_loss"].append(train_loss)
+                stats["eval_loss"].append(eval_loss)
+                for k, v in train_metrics.items():
+                    stats[f"train_{k}"].append(v)
+                for k, v in eval_metrics.items():
+                    stats[f"eval_{k}"].append(v)
+
+                os.makedirs(os.path.dirname(self.stats_path) or ".", exist_ok=True)
+                with open(self.stats_path, "w") as f:
+                    json.dump(stats, f)
+                save_checkpoint(self.model_path, epoch, self.params, self.opt_state)
+
+    def evaluate(self, loader: BatchLoader) -> Dict[str, float]:
+        """Metrics-only pass over a test loader (reference main.py:193-211)."""
+        self.timer.reset()
+        _, metrics = self._run_epoch(loader, 0, False, step_fn=self.test_step)
+        return metrics

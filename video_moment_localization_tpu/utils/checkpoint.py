@@ -1,0 +1,59 @@
+"""Checkpoint save/restore via orbax.
+
+Surface matches the reference's semantics (reference main.py:213-218,
+237-241, 270-274): one checkpoint per experiment at
+``{checkpoint_path}/{experiment}_model.ckpt`` holding
+{epoch, params, optimizer state}, overwritten every epoch, reloaded when
+``resume_training`` is set to continue at epoch+1. Improvements over the
+reference: optimizer state round-trips through a structure-preserving
+state-dict (optax namedtuples restore intact), and the training data-order
+RNG needs no saving at all because the input pipeline derives every draw
+from (seed, epoch, index) — resume is bit-reproducible (the reference lost
+RNG state on resume, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+import orbax.checkpoint as ocp
+
+
+def checkpoint_paths(checkpoint_path: str, experiment: str) -> Tuple[str, str]:
+    """(model checkpoint path, stats json path) for an experiment."""
+    prefix = os.path.join(checkpoint_path, f"{experiment}_")
+    return prefix + "model.ckpt", prefix + "stats.json"
+
+
+def save_checkpoint(path: str, epoch: int, params: Any, opt_state: Any) -> None:
+    """Overwrite the experiment checkpoint with the current train state."""
+    state = {
+        "epoch": np.int64(epoch),
+        "params": serialization.to_state_dict(jax.tree.map(np.asarray, params)),
+        "opt_state": serialization.to_state_dict(jax.tree.map(np.asarray, opt_state)),
+    }
+    abspath = os.path.abspath(path)
+    os.makedirs(os.path.dirname(abspath), exist_ok=True)
+    ocp.PyTreeCheckpointer().save(abspath, state, force=True)
+
+
+def restore_checkpoint(
+    path: str, params_template: Any, opt_state_template: Any
+) -> Optional[Dict[str, Any]]:
+    """Restore {epoch, params, opt_state} or None if no checkpoint exists.
+
+    Templates define the pytree structure (incl. optax namedtuples) that the
+    stored arrays are poured back into.
+    """
+    abspath = os.path.abspath(path)
+    if not os.path.exists(abspath):
+        return None
+    raw = ocp.PyTreeCheckpointer().restore(abspath)
+    params = serialization.from_state_dict(params_template, raw["params"])
+    opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
+    return {"epoch": int(raw["epoch"]), "params": params, "opt_state": opt_state}
