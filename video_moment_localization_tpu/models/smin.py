@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from video_moment_localization_tpu.config import ModelConfig
 from video_moment_localization_tpu.models.lstm import bilstm, init_bilstm_params
-from video_moment_localization_tpu.ops.proposal import proposal_features
+from video_moment_localization_tpu.ops.proposal import proposal_features_auto
 
 Params = Dict[str, Any]
 
@@ -307,7 +307,7 @@ def smin_forward(
     qf = query_features.astype(dtype)
 
     f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
-    fc, fm, fb = proposal_features(f, moment_mask, cfg.L, cfg.C)
+    fc, fm, fb = proposal_features_auto(f, moment_mask, cfg.L, cfg.C, cfg.use_pallas)
 
     block = smi_block
     if cfg.remat_smi:

@@ -56,3 +56,18 @@ def proposal_features(
     fm = jnp.mean(fc, axis=3)
     fb = jnp.mean(f.reshape(B, L, T // L, D), axis=2)
     return fc, fm, fb
+
+
+def proposal_features_auto(
+    f: jnp.ndarray, moment_mask: jnp.ndarray, L: int, C: int, use_pallas: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dispatch to the fused Pallas kernel on TPU, XLA prefix-sums elsewhere."""
+    import jax
+
+    if use_pallas and jax.default_backend().startswith(("tpu", "axon")):
+        from video_moment_localization_tpu.ops.proposal_pallas import (
+            proposal_features_pallas,
+        )
+
+        return proposal_features_pallas(f, moment_mask, L, C)
+    return proposal_features(f, moment_mask, L, C)

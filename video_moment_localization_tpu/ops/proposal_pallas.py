@@ -1,0 +1,129 @@
+"""Fused Pallas TPU kernel for proposal-map generation.
+
+Replaces the reference's dense HBM-resident einsum against Wc (reference
+models.py:117) — the model's hottest op — with a kernel that:
+
+* keeps each video's fused features f (T, D) resident in VMEM;
+* streams one row-block of the static averaging operator Wc per grid step,
+  revisited across the batch (grid order (i, b) with b fastest means the
+  Mosaic pipeline re-DMAs the Wc block only when i changes — Wc is read
+  once per map row, not once per (batch, row));
+* computes the row's (L·C, D) content features as ONE MXU matmul in fp32;
+* applies the valid-moment mask in-register; and
+* writes fc and the clip-mean moment features fm in the same pass.
+
+HBM traffic is the lower bound: read f once + Wc once, write fc/fm once —
+versus the XLA gather path's two materialized (B, L·L·C, D) gather
+intermediates (~3x write traffic).
+
+Backward runs through a `jax.custom_vjp` whose bwd is the VJP of the
+portable XLA prefix-sum implementation (ops/proposal.py) — exact, tested,
+and free of scatter lowering concerns.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_moment_localization_tpu.ops.content_matrix import content_matrix
+from video_moment_localization_tpu.ops import proposal as proposal_xla
+
+
+@functools.lru_cache(maxsize=None)
+def _wc_rows(T: int, L: int, C: int) -> np.ndarray:
+    """Static averaging operator reshaped to row blocks: (L, L*C, T) fp32."""
+    return content_matrix(T, L, C).reshape(L, L * C, T)
+
+
+def _row_kernel(wc_ref, f_ref, mask_ref, fc_ref, fm_ref, *, L: int, C: int,
+                precision):
+    """One (map-row i, batch b) cell: fc row via a single MXU matmul."""
+    x = f_ref[0].astype(jnp.float32)                     # (T, D)
+    w = wc_ref[0]                                        # (L*C, T) fp32
+    # fp32 activations use HIGHEST (f32-accurate MXU passes — memory-bound
+    # op, extra multiply passes are free) so the kernel matches the
+    # prefix-sum reference at test tolerance; bf16 activations keep the
+    # fast single-pass MXU path.
+    y = jnp.dot(w, x, preferred_element_type=jnp.float32,
+                precision=precision)                     # (L*C, D)
+    D = y.shape[-1]
+    y = y * mask_ref[0, 0]                               # (L*C, 1) column mask
+    y = y.reshape(L, C, D)                               # split sublanes only
+    fc_ref[0, 0] = y.astype(fc_ref.dtype)
+    fm_ref[0, 0] = jnp.mean(y, axis=1).astype(fm_ref.dtype)
+
+
+def _fc_fm_pallas(f: jnp.ndarray, moment_mask: jnp.ndarray, L: int, C: int,
+                  interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, T, D = f.shape
+    wc = jnp.asarray(_wc_rows(T, L, C))
+    # Mask as an (L*C, 1) column per (b, i): lane->sublane broadcasts are
+    # restricted in Mosaic, so expand on the XLA side (small: B*L*L*C floats).
+    mask_col = jnp.repeat(
+        moment_mask.astype(jnp.float32), C, axis=2
+    ).reshape(B, L, L * C, 1)
+    precision = (jax.lax.Precision.HIGHEST if f.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_row_kernel, L=L, C=C, precision=precision)
+    grid = (L, B)  # b fastest: wc block constant across inner steps
+    fc, fm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L * C, T), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda i, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L * C, 1), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, L, C, D), lambda i, b: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L, D), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, L, C, D), f.dtype),
+            jax.ShapeDtypeStruct((B, L, L, D), f.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * L * C * T * D,
+            bytes_accessed=(B * T * D * 4 + L * L * C * T * 4
+                            + B * L * L * C * D * f.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wc, f, mask_col)
+    return fc, fm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def proposal_features_pallas(f, moment_mask, L: int, C: int, interpret: bool = False):
+    """(fc, fm, fb) — fused TPU kernel; same contract as ops.proposal."""
+    fc, fm = _fc_fm_pallas(f, moment_mask, L, C, interpret)
+    B, T, D = f.shape
+    fb = jnp.mean(f.reshape(B, L, T // L, D), axis=2)
+    return fc, fm, fb
+
+
+def _fwd(f, moment_mask, L, C, interpret):
+    return proposal_features_pallas(f, moment_mask, L, C, interpret), (f, moment_mask)
+
+
+def _bwd(L, C, interpret, residuals, cotangents):
+    f, moment_mask = residuals
+    _, vjp = jax.vjp(lambda f_, m_: proposal_xla.proposal_features(f_, m_, L, C),
+                     f, moment_mask)
+    df, dmask = vjp(cotangents)
+    return df, dmask
+
+
+proposal_features_pallas.defvjp(_fwd, _bwd)
