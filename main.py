@@ -41,6 +41,8 @@ def get_parameters() -> argparse.Namespace:
                         help="Activation compute dtype.")
     parser.add_argument("--profile_dir", default=None,
                         help="Write a jax.profiler trace to this directory.")
+    parser.add_argument("--debug_nans", default=False, action="store_true",
+                        help="Enable jax_debug_nans (fail fast on NaN/Inf).")
     return parser.parse_args()
 
 
@@ -52,6 +54,10 @@ def main() -> None:
     cfg.profile_dir = args.profile_dir
     if args.compute_dtype:
         cfg.model = dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     trainer = Trainer(cfg)
 
