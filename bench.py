@@ -23,8 +23,11 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
-B = 64
-ITERS = 30
+# Serving-style batch: large enough to amortize per-call host<->device
+# round-trip latency (the timing loop fetches results to host every
+# iteration to guarantee real completion under remote-execution transports).
+B = 1024
+ITERS = 10
 
 
 def main() -> None:
@@ -44,13 +47,15 @@ def main() -> None:
         return recall_counts(pm, ps, pe, mm, sm)
 
     # Warmup / compile.
-    score_batch(params, vf, vm, qf, qm, lm, mm, sm).block_until_ready()
-    score_batch(params, vf, vm, qf, qm, lm, mm, sm).block_until_ready()
+    np.asarray(score_batch(params, vf, vm, qf, qm, lm, mm, sm))
+    np.asarray(score_batch(params, vf, vm, qf, qm, lm, mm, sm))
 
+    # Fetch results to host every iteration: timing must include real
+    # completion (some transports acknowledge block_until_ready early);
+    # the (2, 4) counts transfer is negligible.
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = score_batch(params, vf, vm, qf, qm, lm, mm, sm)
-    out.block_until_ready()
+        out = np.asarray(score_batch(params, vf, vm, qf, qm, lm, mm, sm))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = ITERS * B / dt
