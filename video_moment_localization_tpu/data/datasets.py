@@ -30,13 +30,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from video_moment_localization_tpu.data import native
 from video_moment_localization_tpu.data.glove import WordEmbedding
-from video_moment_localization_tpu.data.labels import (
-    boundary_penalties,
-    build_masks,
-    iou_target_map,
-    snippet_labels,
-)
 from video_moment_localization_tpu.data.sampler import sample_fixed_length_features
 from video_moment_localization_tpu.data.tokenizer import get_tokens
 
@@ -112,11 +107,13 @@ class MomentDataset:
         video_features, nfeats, start_index, end_index = sample_fixed_length_features(
             raw, self.T, spos_n, epos_n, train=(self.split == "train"), rng=rng
         )
-        video_mask, length_mask, moment_mask = build_masks(nfeats, self.T, self.L)
-
-        ious = iou_target_map(spos, epos, duration, self.L)
-        s_s, s_e = boundary_penalties(spos, epos, duration, self.L)
-        y_a = snippet_labels(spos, epos, duration, self.L)
+        # Native C kernels when built (csrc/vml_native.cpp); NumPy otherwise.
+        video_mask, length_mask, moment_mask = native.build_masks(
+            nfeats, self.T, self.L
+        )
+        ious, ym, s_s, ys, s_e, ye, y_a = native.generate_labels(
+            spos, epos, duration, self.L
+        )
 
         return {
             "video_id": vid,
@@ -133,11 +130,11 @@ class MomentDataset:
             "length_mask": length_mask,                             # (L,)
             "moment_mask": moment_mask,                             # (L, L)
             "sm": ious,                                             # (L, L)
-            "ym": (ious > 0.5).astype(np.float32),
+            "ym": ym,
             "ss": s_s,                                              # (L,)
-            "ys": (s_s > 0.5).astype(np.float32),
+            "ys": ys,
             "se": s_e,
-            "ye": (s_e > 0.5).astype(np.float32),
+            "ye": ye,
             "ya": y_a,
         }
 

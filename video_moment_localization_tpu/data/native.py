@@ -1,0 +1,140 @@
+"""ctypes bindings for the native host-pipeline kernels (csrc/vml_native.cpp).
+
+The shared object is built on demand with g++ (one-time, cached next to the
+source); every entry point has a NumPy fallback, so the pipeline works
+identically without a toolchain. Disable explicitly with VML_NATIVE=0.
+
+Native wins on the input pipeline's per-sample label generation, where
+NumPy's per-op dispatch overhead dominates the tiny (L, L)/(L,) arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_SRC = os.path.join(_CSRC, "vml_native.cpp")
+_SO = os.path.join(_CSRC, "libvml_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if os.environ.get("VML_NATIVE", "1") == "0":
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+            lib.vml_generate_labels.argtypes = [
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int32, _f32p, _f32p, _f32p, _f32p, _f32p, _f32p, _f32p,
+            ]
+            lib.vml_build_masks.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _f32p, _f32p, _f32p,
+            ]
+            lib.vml_sample_indices.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, _i32p, _i32p, _i32p,
+            ]
+            lib.vml_sample_indices.restype = ctypes.c_int32
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fp(a: np.ndarray) -> "_f32p":
+    return a.ctypes.data_as(_f32p)
+
+
+def generate_labels(spos: float, epos: float, duration: float, L: int):
+    """All per-sample labels in one native call (NumPy-fallback compatible).
+
+    Returns (sm, ym, ss, ys, se, ye, ya) float32 arrays.
+    """
+    lib = get_lib()
+    if lib is None:
+        from video_moment_localization_tpu.data import labels as np_labels
+
+        sm = np_labels.iou_target_map(spos, epos, duration, L)
+        ss, se = np_labels.boundary_penalties(spos, epos, duration, L)
+        ya = np_labels.snippet_labels(spos, epos, duration, L)
+        return (sm, (sm > 0.5).astype(np.float32), ss,
+                (ss > 0.5).astype(np.float32), se,
+                (se > 0.5).astype(np.float32), ya)
+    sm = np.empty((L, L), np.float32)
+    ym = np.empty((L, L), np.float32)
+    ss, ys, se, ye, ya = (np.empty(L, np.float32) for _ in range(5))
+    lib.vml_generate_labels(spos, epos, duration, L, _fp(sm), _fp(ym),
+                            _fp(ss), _fp(ys), _fp(se), _fp(ye), _fp(ya))
+    return sm, ym, ss, ys, se, ye, ya
+
+
+def build_masks(nfeats: int, T: int, L: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(video_mask (T,1), length_mask (L,), moment_mask (L,L)) float32."""
+    lib = get_lib()
+    if lib is None:
+        from video_moment_localization_tpu.data import labels as np_labels
+
+        return np_labels.build_masks(nfeats, T, L)
+    video_mask = np.empty(T, np.float32)
+    length_mask = np.empty(L, np.float32)
+    moment_mask = np.empty((L, L), np.float32)
+    lib.vml_build_masks(nfeats, T, L, _fp(video_mask), _fp(length_mask),
+                        _fp(moment_mask))
+    return video_mask[:, None], length_mask, moment_mask
+
+
+def sample_indices(nfeats: int, T: int, spos: int,
+                   start_pos_n: float, end_pos_n: float):
+    """Native sampler index math; returns (frame_idx (n,), start_i, end_i)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    frame_idx = np.empty(T, np.int32)
+    si = ctypes.c_int32()
+    ei = ctypes.c_int32()
+    n = lib.vml_sample_indices(
+        nfeats, T, spos, start_pos_n, end_pos_n,
+        frame_idx.ctypes.data_as(_i32p), ctypes.byref(si), ctypes.byref(ei),
+    )
+    return frame_idx[:n], int(si.value), int(ei.value)
