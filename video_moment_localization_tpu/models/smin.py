@@ -268,6 +268,110 @@ def smi_block(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask, length_mask, momen
 
 
 # --------------------------------------------------------------------- #
+# Triangular-packed SMI stack (TPU-native default)
+#
+# Same math as the dense units above, but over the N = L(L+1)/2 valid
+# (i <= j) moment pairs only (ops/packing.py) — the dense path spends ~47%
+# of its FLOPs/HBM on lower-triangle garbage the reference immediately
+# masks to zero. Numerics at valid positions are identical; the dense units
+# are retained for reference-oracle parity tests and the Pallas dense path.
+# --------------------------------------------------------------------- #
+def content_attention_packed(p: Params, query3, key, value, key_mask):
+    """content_attention with one packed pair axis: query3 (B, N, C, dl)."""
+    dl = query3.shape[-1]
+    q = _linear(p["attn_q"], query3)
+    k = _linear(p["attn_k"], key)
+    logits = jnp.einsum("bncd,bmd->bncm", q, k) / math.sqrt(dl)
+    m = key_mask[..., 0][:, None, None, :].astype(logits.dtype)
+    logits = jnp.where(m > 0, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)                   # (B, N, C, Nq)
+    return jnp.einsum("bncm,bmd->bncd", weights, value)
+
+
+def content_unit_packed(p: Params, f_c, f_w, f_s, f_m, query_mask, vmask):
+    """ContentUnit over packed pairs: f_c (B, N, C, D), f_m (B, N, D),
+    vmask (B, N)."""
+    dl = p["c_hat"]["w"].shape[1]
+    dtype = f_c.dtype
+    f_c_mask = vmask[..., None, None].astype(dtype)             # (B, N, 1, 1)
+    q_mask = query_mask.astype(dtype)
+
+    f_c_hat = _linear(p["c_hat"], f_c) * f_c_mask               # (B, N, C, dl)
+    f_w_hat = _linear(p["w_hat"], f_w) * q_mask
+    f_s_hat = _linear(p["s_hat"], f_s)
+
+    f_caq = content_attention_packed(p, f_c_hat, f_w_hat, f_w_hat, query_mask)
+    f_caq = f_caq * f_c_mask
+    f_cq = f_c_hat * (f_caq + f_s_hat[:, None, None, :])
+    A_c = jnp.einsum("bncd,bned->bnce", f_cq, f_cq) / math.sqrt(dl)
+    A_c = jax.nn.softmax(A_c, axis=-1) * f_c_mask               # post-softmax mask
+
+    f_cc_hat = jnp.einsum("bnce,bned->bncd", A_c, f_c_hat)
+    f_cc = _linear(p["c_out"], f_cc_hat) * f_c_mask
+
+    g_m = jax.nn.sigmoid(f_m * f_s[:, None, :])
+    fbar_m = g_m * f_m                                          # (B, N, D)
+    return f_cc + f_c + fbar_m[:, :, None, :]
+
+
+def boundary_unit_packed(p: Params, f_b, f_w, f_s, f_m, query_mask,
+                         length_mask, L: int):
+    """BoundaryUnit with the moment->boundary message read from packed f_m.
+
+    The dense message f_bm[i] = sum_j A_b[i, j] * (g.f_m)[i, j] becomes a
+    packed gather of A_b at valid pairs + one MXU row-aggregation matmul
+    (ops/packing.py `rowsum_packed`); lower-triangle terms were zero anyway.
+    """
+    from video_moment_localization_tpu.ops.packing import (
+        rowsum_packed,
+        triu_packing,
+    )
+
+    D = f_b.shape[-1]
+    dtype = f_b.dtype
+    f_b_mask = length_mask[..., None].astype(dtype)             # (B, L, 1)
+
+    f_baq = word_attention(p, f_b, f_w, f_w, query_mask) * f_b_mask
+    f_bq = f_b * (f_baq + f_s[:, None, :])
+    logits = jnp.einsum("bid,bjd->bij", f_bq, f_bq) / math.sqrt(D)
+    key_m = length_mask[:, None, :].astype(dtype)
+    logits = jnp.where(key_m > 0, logits, _NEG_INF)
+    A_b = jax.nn.softmax(logits, axis=-1) * f_b_mask            # (B, L, L)
+
+    f_bb = jnp.einsum("bij,bjd->bid", A_b, f_b) * f_b_mask
+
+    g_m = jax.nn.sigmoid(f_m * f_s[:, None, :])                 # (B, N, D)
+    pk = triu_packing(L)
+    B = A_b.shape[0]
+    A_b_packed = jnp.take(A_b.reshape(B, L * L), jnp.asarray(pk.flat_idx), axis=1)
+    f_bm = rowsum_packed(A_b_packed[..., None] * (g_m * f_m), L)  # (B, L, D)
+    return f_bb + f_b + f_bm
+
+
+def moment_unit_packed(p: Params, f_c, f_m, f_b, vmask, L: int):
+    """MomentUnit over packed pairs: boundary outer-product via static
+    per-pair gathers of f_b."""
+    from video_moment_localization_tpu.ops.packing import gather_rows, triu_packing
+
+    dtype = f_m.dtype
+    pk = triu_packing(L)
+    f_m_mask = vmask[..., None].astype(dtype)                   # (B, N, 1)
+    outer = gather_rows(f_b, pk.i_idx) * gather_rows(f_b, pk.j_idx)  # (B, N, D)
+    conv_fb = _linear(p["conv_fb"], outer) * f_m_mask
+    conv_fc = _linear(p["conv_fc"], jnp.mean(f_c, axis=2)) * f_m_mask
+    return conv_fb + conv_fc + f_m
+
+
+def smi_block_packed(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask,
+                     length_mask, vmask, L: int):
+    cu = content_unit_packed(p["content"], f_c, f_w, f_s, f_m, query_mask, vmask)
+    bu = boundary_unit_packed(p["boundary"], f_b, f_w, f_s, f_m, query_mask,
+                              length_mask, L)
+    mu = moment_unit_packed(p["moment"], cu, f_m, bu, vmask, L)
+    return cu, mu, bu
+
+
+# --------------------------------------------------------------------- #
 # Heads
 # --------------------------------------------------------------------- #
 def localization(p: Params, f_m, f_b, length_mask, moment_mask):
@@ -280,6 +384,21 @@ def localization(p: Params, f_m, f_b, length_mask, moment_mask):
     mm = moment_mask.astype(jnp.float32)
     p_m = jax.nn.sigmoid(_linear(p["pm"], f_m32))[..., 0] * mm   # (B, L, L)
     p_s = jax.nn.sigmoid(_linear(p["ps"], f_b32))[..., 0] * lm   # (B, L)
+    p_e = jax.nn.sigmoid(_linear(p["pe"], f_b32))[..., 0] * lm
+    p_a = jax.nn.sigmoid(_linear(p["pa"], f_b32))[..., 0] * lm
+    return p_m, p_s, p_e, p_a
+
+
+def localization_packed(p: Params, f_m, f_b, length_mask, vmask, L: int):
+    """Scoring heads on packed moments; pm is densified at the very end
+    (the eval/loss contract is the dense (B, L, L) map)."""
+    from video_moment_localization_tpu.ops.packing import unpack_map
+
+    f_m32, f_b32 = f_m.astype(jnp.float32), f_b.astype(jnp.float32)
+    lm = length_mask.astype(jnp.float32)
+    p_m_packed = jax.nn.sigmoid(_linear(p["pm"], f_m32))[..., 0]  # (B, N)
+    p_m = unpack_map(p_m_packed * vmask.astype(jnp.float32), L)   # (B, L, L)
+    p_s = jax.nn.sigmoid(_linear(p["ps"], f_b32))[..., 0] * lm
     p_e = jax.nn.sigmoid(_linear(p["pe"], f_b32))[..., 0] * lm
     p_a = jax.nn.sigmoid(_linear(p["pa"], f_b32))[..., 0] * lm
     return p_m, p_s, p_e, p_a
@@ -307,8 +426,23 @@ def smin_forward(
     qf = query_features.astype(dtype)
 
     f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
-    fc, fm, fb = proposal_features_auto(f, moment_mask, cfg.L, cfg.C, cfg.use_pallas)
 
+    if cfg.packed:
+        from video_moment_localization_tpu.ops.packing import packed_valid_mask
+        from video_moment_localization_tpu.ops.proposal import proposal_features_packed
+
+        vmask = packed_valid_mask(length_mask.astype(jnp.float32)).astype(dtype)
+        fc, fm, fb = proposal_features_packed(f, length_mask, cfg.L, cfg.C)
+        block = smi_block_packed
+        if cfg.remat_smi:
+            block = jax.checkpoint(smi_block_packed, static_argnums=(9,))
+        for p_layer in params["smi"]:
+            fc, fm, fb = block(p_layer, fc, fm, fb, fw, fs,
+                               query_mask, length_mask, vmask, cfg.L)
+        return localization_packed(params["localization"], fm, fb,
+                                   length_mask, vmask, cfg.L)
+
+    fc, fm, fb = proposal_features_auto(f, moment_mask, cfg.L, cfg.C, cfg.use_pallas)
     block = smi_block
     if cfg.remat_smi:
         block = jax.checkpoint(smi_block, static_argnums=())

@@ -58,6 +58,49 @@ def proposal_features(
     return fc, fm, fb
 
 
+def proposal_features_packed(
+    f: jnp.ndarray,
+    length_mask: jnp.ndarray,
+    L: int,
+    C: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Triangular-packed (fc, fm, fb): fc (B, N, C, D), fm (B, N, D).
+
+    Only the N = L(L+1)/2 valid moments are computed — no masked-garbage
+    FLOPs or HBM traffic (see ops/packing.py). Same prefix-sum construction
+    as `proposal_features`.
+    """
+    from video_moment_localization_tpu.ops.packing import (
+        packed_valid_mask,
+        triu_packing,
+    )
+
+    B, T, D = f.shape
+    seg = content_segments(T, L, C)
+    p = triu_packing(L)
+    dtype = f.dtype
+
+    starts = seg.starts[p.i_idx, p.j_idx]        # (N, C)
+    sizes = seg.sizes[p.i_idx, p.j_idx]
+    weights = seg.weights[p.i_idx, p.j_idx]
+
+    P = jnp.cumsum(f.astype(jnp.float32), axis=1)
+    P = jnp.concatenate([jnp.zeros((B, 1, D), jnp.float32), P], axis=1)
+
+    idx_s = jnp.asarray(starts.reshape(-1))
+    idx_e = jnp.asarray((starts + sizes).reshape(-1))
+    w = jnp.asarray(weights.reshape(1, -1, 1))
+
+    fc = (P[:, idx_e, :] - P[:, idx_s, :]) * w   # (B, N*C, D)
+    fc = fc.reshape(B, p.N, C, D).astype(dtype)
+    vmask = packed_valid_mask(length_mask).astype(dtype)  # (B, N)
+    fc = fc * vmask[..., None, None]
+
+    fm = jnp.mean(fc, axis=2)
+    fb = jnp.mean(f.reshape(B, L, T // L, D), axis=2)
+    return fc, fm, fb
+
+
 def proposal_features_auto(
     f: jnp.ndarray, moment_mask: jnp.ndarray, L: int, C: int, use_pallas: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
