@@ -28,6 +28,51 @@ def test_pallas_kernel_matches_xla_path(T, L, C, D, B):
     np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_x), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("T,L,C,D,B", [(16, 8, 4, 128, 3), (64, 16, 4, 256, 2)])
+def test_packed_pallas_kernel_matches_xla_packed(T, L, C, D, B):
+    from video_moment_localization_tpu.ops.proposal import proposal_features_packed
+    from video_moment_localization_tpu.ops.proposal_pallas import (
+        proposal_features_packed_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    length = np.ones((B, L), np.float32)
+    length[0, L // 2 :] = 0
+    lm = jnp.asarray(length)
+
+    fc_x, fm_x, fb_x = proposal_features_packed(f, lm, L, C)
+    fc_p, fm_p, fb_p = proposal_features_packed_pallas(f, lm, L, C, True)
+    np.testing.assert_allclose(np.asarray(fc_p), np.asarray(fc_x), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fm_p), np.asarray(fm_x), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_x), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_pallas_grad_matches_xla_packed():
+    from video_moment_localization_tpu.ops.proposal import proposal_features_packed
+    from video_moment_localization_tpu.ops.proposal_pallas import (
+        proposal_features_packed_pallas,
+    )
+
+    T, L, C, D, B = 16, 8, 4, 128, 2
+    rng = np.random.default_rng(4)
+    f = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lm = jnp.ones((B, L), jnp.float32)
+    N = L * (L + 1) // 2
+    g = jnp.asarray(rng.standard_normal((B, N, C, D)).astype(np.float32))
+
+    def loss(pallas, f_):
+        if pallas:
+            fc, fm, fb = proposal_features_packed_pallas(f_, lm, L, C, True)
+        else:
+            fc, fm, fb = proposal_features_packed(f_, lm, L, C)
+        return jnp.sum(fc * g) + jnp.sum(fm) + jnp.sum(fb)
+
+    g_p = jax.grad(lambda x: loss(True, x))(f)
+    g_x = jax.grad(lambda x: loss(False, x))(f)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_kernel_grad_matches_xla_path():
     T, L, C, D, B = 16, 8, 4, 128, 2
     rng = np.random.default_rng(1)

@@ -429,10 +429,13 @@ def smin_forward(
 
     if cfg.packed:
         from video_moment_localization_tpu.ops.packing import packed_valid_mask
-        from video_moment_localization_tpu.ops.proposal import proposal_features_packed
+        from video_moment_localization_tpu.ops.proposal import (
+            proposal_features_packed_auto,
+        )
 
         vmask = packed_valid_mask(length_mask.astype(jnp.float32)).astype(dtype)
-        fc, fm, fb = proposal_features_packed(f, length_mask, cfg.L, cfg.C)
+        fc, fm, fb = proposal_features_packed_auto(f, length_mask, cfg.L, cfg.C,
+                                                   cfg.use_pallas)
         block = smi_block_packed
         if cfg.remat_smi:
             block = jax.checkpoint(smi_block_packed, static_argnums=(9,))

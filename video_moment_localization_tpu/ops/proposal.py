@@ -101,16 +101,33 @@ def proposal_features_packed(
     return fc, fm, fb
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend().startswith(("tpu", "axon"))
+
+
 def proposal_features_auto(
     f: jnp.ndarray, moment_mask: jnp.ndarray, L: int, C: int, use_pallas: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dispatch to the fused Pallas kernel on TPU, XLA prefix-sums elsewhere."""
-    import jax
-
-    if use_pallas and jax.default_backend().startswith(("tpu", "axon")):
+    if use_pallas and _on_tpu():
         from video_moment_localization_tpu.ops.proposal_pallas import (
             proposal_features_pallas,
         )
 
         return proposal_features_pallas(f, moment_mask, L, C)
     return proposal_features(f, moment_mask, L, C)
+
+
+def proposal_features_packed_auto(
+    f: jnp.ndarray, length_mask: jnp.ndarray, L: int, C: int, use_pallas: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Packed-layout dispatch: fused Pallas kernel on TPU, XLA elsewhere."""
+    if use_pallas and _on_tpu():
+        from video_moment_localization_tpu.ops.proposal_pallas import (
+            proposal_features_packed_pallas,
+        )
+
+        return proposal_features_packed_pallas(f, length_mask, L, C)
+    return proposal_features_packed(f, length_mask, L, C)

@@ -127,3 +127,115 @@ def _bwd(L, C, interpret, residuals, cotangents):
 
 
 proposal_features_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------- #
+# Triangular-packed variant (default layout; see ops/packing.py)
+# --------------------------------------------------------------------- #
+_ROW_BLOCK = 512  # averaging-operator rows (pair-clips) per grid cell
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _wc_packed(T: int, L: int, C: int):
+    """(packed averaging operator (NC_pad, T) fp32 with zero pad rows,
+    row-block size R). Small maps run as a single block; large maps tile in
+    _ROW_BLOCK chunks (pad waste stays a few percent)."""
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    p = triu_packing(L)
+    wc = content_matrix(T, L, C)[p.i_idx, p.j_idx]       # (N, C, T)
+    rows = wc.reshape(p.N * C, T)
+    NC = p.N * C
+    R = _round_up(NC, 8 * C) if NC <= 1024 else _ROW_BLOCK
+    n_pad = _round_up(NC, R) - NC
+    if n_pad:
+        rows = np.concatenate([rows, np.zeros((n_pad, T), np.float32)], axis=0)
+    return rows, R
+
+
+def _packed_kernel(wc_ref, f_ref, mask_ref, fc_ref, fm_ref, *, C: int, precision):
+    """One (row-block, batch) cell: R pair-clip means as one MXU matmul."""
+    x = f_ref[0].astype(jnp.float32)                     # (T, D)
+    w = wc_ref[:]                                        # (R, T) fp32
+    y = jnp.dot(w, x, preferred_element_type=jnp.float32,
+                precision=precision)                     # (R, D)
+    y = y * mask_ref[0]                                  # (R, 1) column mask
+    fc_ref[0] = y.astype(fc_ref.dtype)
+    R, D = y.shape
+    fm_ref[0] = jnp.mean(y.reshape(R // C, C, D), axis=1).astype(fm_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def proposal_features_packed_pallas(f, length_mask, L: int, C: int,
+                                    interpret: bool = False):
+    """Packed (fc (B,N,C,D), fm (B,N,D), fb) via the fused kernel."""
+    from video_moment_localization_tpu.ops.packing import (
+        packed_valid_mask,
+        triu_packing,
+    )
+
+    B, T, D = f.shape
+    p = triu_packing(L)
+    wc_rows, R = _wc_packed(T, L, C)
+    wc = jnp.asarray(wc_rows)
+    NC_pad = wc.shape[0]
+    num_blocks = NC_pad // R
+
+    vmask = packed_valid_mask(length_mask.astype(jnp.float32))   # (B, N)
+    mask_col = jnp.repeat(vmask, C, axis=1)                      # (B, N*C)
+    mask_col = jnp.pad(mask_col, ((0, 0), (0, NC_pad - p.N * C)))[..., None]
+
+    precision = (jax.lax.Precision.HIGHEST if f.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_packed_kernel, C=C, precision=precision)
+    fc_rows, fm_rows = pl.pallas_call(
+        kernel,
+        grid=(num_blocks, B),  # b fastest: wc block revisited, not re-DMA'd
+        in_specs=[
+            pl.BlockSpec((R, T), lambda nb, b: (nb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda nb, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda nb, b: (b, nb, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, D), lambda nb, b: (b, nb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R // C, D), lambda nb, b: (b, nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NC_pad, D), f.dtype),
+            jax.ShapeDtypeStruct((B, NC_pad // C, D), f.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * NC_pad * T * D,
+            bytes_accessed=(B * T * D * 4 + NC_pad * T * 4
+                            + B * NC_pad * D * f.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wc, f, mask_col)
+
+    fc = fc_rows[:, : p.N * C, :].reshape(B, p.N, C, D)
+    fm = fm_rows[:, : p.N, :]
+    fb = jnp.mean(f.reshape(B, L, T // L, D), axis=2)
+    return fc, fm, fb
+
+
+def _packed_fwd(f, length_mask, L, C, interpret):
+    out = proposal_features_packed_pallas(f, length_mask, L, C, interpret)
+    return out, (f, length_mask)
+
+
+def _packed_bwd(L, C, interpret, residuals, cotangents):
+    f, length_mask = residuals
+    _, vjp = jax.vjp(
+        lambda f_, m_: proposal_xla.proposal_features_packed(f_, m_, L, C),
+        f, length_mask,
+    )
+    return vjp(cotangents)
+
+
+proposal_features_packed_pallas.defvjp(_packed_fwd, _packed_bwd)

@@ -87,6 +87,7 @@ class Trainer:
                     f"number of devices ({self.mesh.size})"
                 )
         self.embedding = embedding
+        self._maybe_enable_remat()
         self.optimizer = build_optimizer(cfg)
         params = init_smin_params(jax.random.PRNGKey(cfg.seed), cfg.model)
         self.params = put_replicated(params, self.mesh)
@@ -99,6 +100,25 @@ class Trainer:
             cfg.checkpoint_path, cfg.experiment
         )
         self.timer = StepTimer()
+
+    def _maybe_enable_remat(self) -> None:
+        """Auto-enable SMI rematerialization when the estimated backward
+        residuals would crowd a single chip's HBM (numerically invisible —
+        tests/test_dtype_remat.py)."""
+        import dataclasses
+
+        m = self.cfg.model
+        if m.remat_smi:
+            return
+        per_dev_b = self.cfg.batch_size // self.mesh.size
+        n_pairs = m.L * (m.L + 1) // 2 if m.packed else m.L * m.L
+        itemsize = 2 if m.compute_dtype == "bfloat16" else 4
+        # ~5 content-unit residual tensors of (B, N, C, D) scale per layer.
+        est = m.num_smi_layers * 5 * per_dev_b * n_pairs * m.C * m.D * itemsize
+        if est > 6e9:
+            self.cfg.model = dataclasses.replace(m, remat_smi=True)
+            print(f"[trainer] enabling SMI remat: estimated residuals "
+                  f"{est / 1e9:.1f} GB/chip exceed budget")
 
     # ------------------------------------------------------------------ #
     def _run_epoch(self, loader: BatchLoader, epoch: int, train: bool,
