@@ -91,6 +91,98 @@ def write_glove_txt(path: str, dim: int = 300, seed: int = 0) -> None:
             f.write(w + " " + " ".join(f"{x:.5f}" for x in vec) + "\n")
 
 
+def write_activitynet_style_dir(
+    root: str,
+    num_videos: int = 5,
+    queries_per_video: int = 2,
+    input_video_dim: int = 24,
+    splits: List[str] = ("train", "val", "test"),
+    seed: int = 0,
+) -> str:
+    """Miniature ActivityNet-Captions layout: one HDF5 of C3D features under
+    key [vid]['c3d_features'] + {split}.json annotation files."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    with h5py.File(os.path.join(root, "sub_activitynet_v1-3.c3d.hdf5"), "w") as h5:
+        all_vids = {}
+        for split in splits:
+            for v in range(num_videos):
+                vid = f"v_{split}{v:03d}"
+                nfeats = int(rng.integers(10, 120))
+                h5.create_group(vid).create_dataset(
+                    "c3d_features",
+                    data=rng.standard_normal((nfeats, input_video_dim)).astype(np.float32),
+                )
+                all_vids[vid] = nfeats
+    for split in splits:
+        anns = {}
+        for v in range(num_videos):
+            vid = f"v_{split}{v:03d}"
+            duration = round(all_vids[vid] * 0.8, 2)
+            ts, sents = [], []
+            for _ in range(queries_per_video):
+                s = round(float(rng.uniform(0, duration * 0.7)), 2)
+                e = round(float(rng.uniform(s + 0.2, duration)), 2)
+                ts.append([s, e])
+                sents.append(" ".join(rng.choice(_WORDS, size=int(rng.integers(2, 6)))))
+            anns[vid] = {"duration": duration, "timestamps": ts, "sentences": sents}
+        with open(os.path.join(root, f"{split}.json"), "w") as f:
+            import json
+
+            json.dump(anns, f)
+    write_glove_txt(os.path.join(root, "glove/glove.6B.300d.txt"), seed=seed)
+    return root
+
+
+def write_tacos_style_dir(
+    root: str,
+    num_videos: int = 5,
+    queries_per_video: int = 2,
+    input_video_dim: int = 24,
+    splits: List[str] = ("train", "val", "test"),
+    seed: int = 0,
+) -> str:
+    """Miniature TACoS layout: one HDF5 keyed by [vid] + frame-time JSONs
+    (timestamps in frames, duration = num_frames / fps)."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    nframes = {}
+    with h5py.File(os.path.join(root, "tall_c3d_features.hdf5"), "w") as h5:
+        for split in splits:
+            for v in range(num_videos):
+                vid = f"s{split}{v:02d}-d21"
+                nfeats = int(rng.integers(10, 150))
+                h5.create_dataset(
+                    vid,
+                    data=rng.standard_normal((nfeats, input_video_dim)).astype(np.float32),
+                )
+                nframes[vid] = nfeats * 16  # pretend 16 frames per clip feature
+    fps = 29.4
+    for split in splits:
+        anns = {}
+        for v in range(num_videos):
+            vid = f"s{split}{v:02d}-d21"
+            nf = nframes[vid]
+            ts, sents = [], []
+            for _ in range(queries_per_video):
+                s = int(rng.integers(0, int(nf * 0.7)))
+                e = int(rng.integers(s + 10, nf))
+                ts.append([s, e])
+                sents.append(" ".join(rng.choice(_WORDS, size=int(rng.integers(2, 6)))))
+            anns[vid] = {"num_frames": nf, "fps": fps, "timestamps": ts,
+                         "sentences": sents}
+        with open(os.path.join(root, f"{split}.json"), "w") as f:
+            import json
+
+            json.dump(anns, f)
+    write_glove_txt(os.path.join(root, "glove/glove.6B.300d.txt"), seed=seed)
+    return root
+
+
 def write_charades_style_dir(
     root: str,
     num_videos: int = 6,
