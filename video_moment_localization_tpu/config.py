@@ -66,6 +66,9 @@ class ModelConfig:
     packed: bool = True
     # Rematerialize SMI blocks to bound activation memory at large L.
     remat_smi: bool = False
+    # Experimental fused ContentUnit kernel (ops/content_pallas.py). Off by
+    # default: measured slower than XLA's batched GEMMs at Charades scale.
+    fused_content: bool = False
 
     def __post_init__(self):
         if self.T % self.L != 0:

@@ -363,8 +363,17 @@ def moment_unit_packed(p: Params, f_c, f_m, f_b, vmask, L: int):
 
 
 def smi_block_packed(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask,
-                     length_mask, vmask, L: int):
-    cu = content_unit_packed(p["content"], f_c, f_w, f_s, f_m, query_mask, vmask)
+                     length_mask, vmask, L: int, fused_content: bool = False):
+    if fused_content:
+        from video_moment_localization_tpu.ops.content_pallas import (
+            content_unit_fused,
+        )
+
+        cu = content_unit_fused(p["content"], f_c, f_w, f_s, f_m,
+                                query_mask, vmask)
+    else:
+        cu = content_unit_packed(p["content"], f_c, f_w, f_s, f_m,
+                                 query_mask, vmask)
     bu = boundary_unit_packed(p["boundary"], f_b, f_w, f_s, f_m, query_mask,
                               length_mask, L)
     mu = moment_unit_packed(p["moment"], cu, f_m, bu, vmask, L)
@@ -436,12 +445,19 @@ def smin_forward(
         vmask = packed_valid_mask(length_mask.astype(jnp.float32)).astype(dtype)
         fc, fm, fb = proposal_features_packed_auto(f, length_mask, cfg.L, cfg.C,
                                                    cfg.use_pallas)
+        fused_content = False
+        if cfg.fused_content:
+            from video_moment_localization_tpu.ops import content_pallas
+            from video_moment_localization_tpu.ops.proposal import _on_tpu
+
+            fused_content = _on_tpu() and content_pallas.supports(cfg.L, cfg.C)
         block = smi_block_packed
         if cfg.remat_smi:
-            block = jax.checkpoint(smi_block_packed, static_argnums=(9,))
+            block = jax.checkpoint(smi_block_packed, static_argnums=(9, 10))
         for p_layer in params["smi"]:
             fc, fm, fb = block(p_layer, fc, fm, fb, fw, fs,
-                               query_mask, length_mask, vmask, cfg.L)
+                               query_mask, length_mask, vmask, cfg.L,
+                               fused_content)
         return localization_packed(params["localization"], fm, fb,
                                    length_mask, vmask, cfg.L)
 
