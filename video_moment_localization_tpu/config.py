@@ -1,7 +1,7 @@
 """Experiment configuration.
 
 Reads the exact YAML schema used by the reference configs
-(/root/reference/config/charadessta.yml:1-25 — 21 keys covering model shape,
+(/root/reference/config/charadessta.yml:1-25 — 20 keys covering model shape,
 data location, and training hyperparameters) so the reference's config files
 work unmodified, and validates them into a typed dataclass.
 """
