@@ -107,7 +107,7 @@ class Config:
 
     @property
     def raw(self) -> Dict[str, Any]:
-        """Reference-schema dict view (the 21 YAML keys)."""
+        """Reference-schema dict view (the 20 YAML keys)."""
         m = self.model
         return {
             "model": self.model_name,
@@ -150,7 +150,9 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         lstm_hidden_size=int(params["lstm_hidden_size"]),
         compute_dtype=str(params.get("compute_dtype", "float32")),
         use_pallas=bool(params.get("use_pallas", True)),
+        packed=bool(params.get("packed", True)),
         remat_smi=bool(params.get("remat_smi", False)),
+        fused_content=bool(params.get("fused_content", False)),
     )
     return Config(
         model=model,
