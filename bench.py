@@ -1,14 +1,18 @@
 """Benchmark: query-video pairs scored per second per chip (north star).
 
 Measures the full inference scoring path on the flagship Charades-STA-scale
-SMIN (B=64, T=64, L=16, C=4, D=512, 3 SMI layers): forward pass + final
-proposal scores pm*sqrt(ps)*sqrt(pe) + masked top-k — the same work the
-reference does per eval batch (reference models.py forward + utils.py:10-31).
+SMIN (T=64, L=16, C=4, D=512, 3 SMI layers, serving batch B=1024): forward
+pass + final proposal scores pm*sqrt(ps)*sqrt(pe) + masked top-k — the same
+work the reference does per eval batch (reference models.py forward +
+utils.py:10-31).
 
 Baseline: the PyTorch reference measured in this environment on CPU
-(1 vCPU, torch 2.x single thread): 9.94 pairs/s at identical shapes
-(forward + compute_ious, batch 64, eval mode). BASELINE.json target is
->= 10x that on one TPU chip.
+(1 vCPU, torch 2.x single thread): 9.94 pairs/s at the same model shapes
+with batch 64 (forward + compute_ious, eval mode). Note the batch sizes
+differ: the CPU reference gains nothing from larger batches (it is
+compute-bound at ~6.4 s/batch), while the TPU number uses a serving-style
+batch to amortize per-call transport latency. BASELINE.json target is
+>= 10x on one TPU chip.
 
 Prints exactly one JSON line.
 """

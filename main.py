@@ -49,9 +49,13 @@ def get_parameters() -> argparse.Namespace:
 def main() -> None:
     args = get_parameters()
     cfg = load_config(args.config_path, num_epochs_override=args.num_epochs)
-    cfg.nms = args.nms
-    cfg.num_devices = args.num_devices
-    cfg.profile_dir = args.profile_dir
+    # Flags only override when explicitly provided (YAML values otherwise).
+    if args.nms:
+        cfg.nms = True
+    if args.num_devices is not None:
+        cfg.num_devices = args.num_devices
+    if args.profile_dir is not None:
+        cfg.profile_dir = args.profile_dir
     if args.compute_dtype:
         cfg.model = dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype)
     if args.debug_nans:

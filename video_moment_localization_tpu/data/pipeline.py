@@ -93,6 +93,18 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """Enqueue, re-checking `stop` so an abandoned consumer (e.g. a
+            training step raised mid-epoch) never leaves this thread parked
+            forever on a full queue."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -108,10 +120,11 @@ class BatchLoader:
                             for i in idxs
                         ]
                         samples = [f.result() for f in futures]
-                        out_q.put(collate(samples, self.batch_size))
-                out_q.put(None)
+                        if not put_checked(collate(samples, self.batch_size)):
+                            return
+                put_checked(None)
             except BaseException as exc:  # surface worker errors to consumer
-                out_q.put(exc)
+                put_checked(exc)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
