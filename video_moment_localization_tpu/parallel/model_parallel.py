@@ -151,26 +151,104 @@ def smin_forward_seq_sharded(
     ends = jnp.asarray((seg.starts + seg.sizes).reshape(-1))
     weights = jnp.asarray(seg.weights)
 
+    # On a 2-D (data, seq) mesh the batch axis is data-parallel as well.
+    d = "data" if "data" in mesh.axis_names else None
+
     body = partial(_body, cfg, n, starts, ends, weights)
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(),                       # params (replicated pytree)
-            P(None, SEQ_AXIS, None),   # video features
-            P(None, SEQ_AXIS, None),   # video mask
-            P(None, None, None),       # query features
-            P(None, None, None),       # query mask
-            P(None, None),             # length mask
-            P(None, SEQ_AXIS, None),   # moment-mask rows
+            P(),                    # params (replicated pytree)
+            P(d, SEQ_AXIS, None),   # video features
+            P(d, SEQ_AXIS, None),   # video mask
+            P(d, None, None),       # query features
+            P(d, None, None),       # query mask
+            P(d, None),             # length mask
+            P(d, SEQ_AXIS, None),   # moment-mask rows
         ),
         out_specs=(
-            P(None, SEQ_AXIS, None),   # pm row-sharded
-            P(None, None),
-            P(None, None),
-            P(None, None),
+            P(d, SEQ_AXIS, None),   # pm row-sharded
+            P(d, None),
+            P(d, None),
+            P(d, None),
         ),
         check_vma=False,
     )
     return fn(params, video_features, video_mask,
               query_features, query_mask, length_mask, moment_mask)
+
+
+# --------------------------------------------------------------------- #
+# 2-D (data x seq) training
+# --------------------------------------------------------------------- #
+def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
+    """Fused train step on a 2-D (data, seq) mesh.
+
+    The forward runs through the shard_mapped sequence-parallel model; loss,
+    backward, Adam, and metrics are expressed at the jit level on the
+    sharded outputs — GSPMD inserts the cross-axis collectives (gradient
+    all-reduce over both axes, row-gathers for the global top-k) and
+    differentiates through the shard_map. Params/opt-state are replicated
+    and donated.
+    """
+    import optax
+
+    from video_moment_localization_tpu.train.loss import smin_loss
+    from video_moment_localization_tpu.train.metrics import recall_counts
+
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            outputs = smin_forward_seq_sharded(
+                p, cfg,
+                batch["video_features"], batch["video_mask"],
+                batch["query_features"], batch["query_mask"],
+                batch["length_mask"], batch["moment_mask"],
+                mesh=mesh,
+            )
+            loss, aux = smin_loss(outputs, batch)
+            return loss, (outputs, aux)
+
+        (loss, (outputs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        params_new = optax.apply_updates(params, updates)
+        pm, ps, pe, _ = outputs
+        counts = recall_counts(pm, ps, pe, batch["moment_mask"], batch["sm"],
+                               batch.get("sample_mask"))
+        return params_new, opt_state_new, {
+            "loss": loss, "num_valid": aux["num_valid"], "counts": counts,
+        }
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def put_batch_2d(batch, mesh: Mesh):
+    """Shard a host batch for the 2-D step: batch axis on ``data``; the
+    clip axis / map rows on ``seq``; per-snippet labels data-sharded only."""
+    from jax.sharding import NamedSharding
+
+    from video_moment_localization_tpu.parallel.mesh import device_batch
+
+    specs = {
+        "video_features": P("data", SEQ_AXIS, None),
+        "video_mask": P("data", SEQ_AXIS, None),
+        "query_features": P("data", None, None),
+        "query_mask": P("data", None, None),
+        "length_mask": P("data", None),
+        "moment_mask": P("data", SEQ_AXIS, None),
+        "sm": P("data", SEQ_AXIS, None),
+        "ym": P("data", SEQ_AXIS, None),
+        "ss": P("data", None),
+        "ys": P("data", None),
+        "se": P("data", None),
+        "ye": P("data", None),
+        "ya": P("data", None),
+        "start_pos": P("data"),
+        "end_pos": P("data"),
+        "sample_mask": P("data"),
+    }
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in device_batch(batch).items()
+    }
