@@ -1,0 +1,98 @@
+"""Serving API tests: end-to-end localize() from a trained checkpoint."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_CFG = """
+model:              "SMIN"
+checkpoint_path:    "{ckpt}"
+resume_training:    False
+T:                  16
+L:                  8
+C:                  4
+d:                  32
+input_video_dim:    32
+dl:                 8
+max_query_length:   6
+lstm_hidden_size:   16
+num_smi_layers:     1
+dataset:            "charadessta"
+data_dir:           "{data}"
+batch_size:         4
+num_workers:        2
+seed:               43
+optimizer:          "Adam"
+lr:                 0.001
+num_epochs:         1
+"""
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train one epoch via the CLI to produce a real checkpoint."""
+    root = tmp_path_factory.mktemp("serve")
+    from video_moment_localization_tpu.data.synthetic import write_charades_style_dir
+
+    data = write_charades_style_dir(str(root / "data"), num_videos=4)
+    cfg = root / "tiny.yml"
+    cfg.write_text(TINY_CFG.format(ckpt=str(root / "ckpt"), data=data))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GLOVE_PATH"] = os.path.join(data, "glove/glove.6B.300d.txt")
+    r = subprocess.run([sys.executable, os.path.join(REPO, "main.py"),
+                        "--config_path", str(cfg)],
+                       capture_output=True, text=True, env=env, cwd=str(root),
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return root, str(cfg), env["GLOVE_PATH"]
+
+
+def test_localize_single_and_batch(trained):
+    root, cfg_path, glove = trained
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    old = os.getcwd()
+    os.chdir(str(root))  # config paths are relative to the experiment dir
+    try:
+        loc = MomentLocalizer.from_checkpoint(cfg_path, glove_path=glove,
+                                              serve_batch=4)
+    finally:
+        os.chdir(old)
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((23, 32)).astype(np.float32)
+    moments = loc.localize(feats, "person opens the door", duration=12.0, top_k=5)
+    assert len(moments) == 5
+    for m in moments:
+        assert 0.0 <= m.start < m.end <= 12.0 + 1e-6
+        assert 0.0 <= m.score <= 1.0
+    # descending score order
+    scores = [m.score for m in moments]
+    assert scores == sorted(scores, reverse=True)
+
+    # batching pads to serve_batch and preserves per-request results
+    reqs = [(rng.standard_normal((int(n), 32)).astype(np.float32),
+             "person picks up a cup", float(n) * 0.7)
+            for n in (9, 30, 50, 14, 21)]  # 5 requests -> 2 chunks (4 + 1)
+    out = loc.localize_batch(reqs, top_k=3)
+    assert len(out) == 5 and all(len(ms) == 3 for ms in out)
+    # single-request result matches the same request inside a batch
+    solo = loc.localize(*reqs[0][:2], duration=reqs[0][2], top_k=3)
+    assert [(m.start, m.end) for m in solo] == [(m.start, m.end) for m in out[0]]
+
+
+def test_missing_checkpoint_raises(trained, tmp_path):
+    root, cfg_path, glove = trained
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    bad_cfg = tmp_path / "tiny.yml"
+    bad_cfg.write_text(open(cfg_path).read().replace(
+        str(root / "ckpt"), str(tmp_path / "missing")))
+    with pytest.raises(FileNotFoundError, match="No saved model"):
+        MomentLocalizer.from_checkpoint(str(bad_cfg), glove_path=glove)

@@ -1,0 +1,151 @@
+"""Serving API: localize language-queried moments in new videos.
+
+The reference offers only the train/test CLI (reference main.py) — scoring a
+new (video, query) pair requires hand-assembling dataset internals. This
+module packages the full inference path behind one object:
+
+    localizer = MomentLocalizer.from_checkpoint("config/charadessta.yml")
+    moments = localizer.localize(clip_features, "person opens the door",
+                                 duration=31.2, top_k=5)
+    # -> [Moment(start=12.1, end=18.4, score=0.83), ...]
+
+Host side: fixed-length eval sampling + GloVe query encoding (identical to
+the training pipeline). Device side: one jit-compiled executable computing
+the forward pass, final proposal scores, and top-k (optionally soft-NMS)
+selection. Requests are batched up to a fixed serving batch and padded, so
+any request count reuses the same compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_moment_localization_tpu.config import Config, ModelConfig, load_config
+from video_moment_localization_tpu.data.glove import WordEmbedding
+from video_moment_localization_tpu.data.labels import build_masks
+from video_moment_localization_tpu.data.sampler import sample_fixed_length_features
+from video_moment_localization_tpu.data.tokenizer import get_tokens
+from video_moment_localization_tpu.models import init_smin_params, smin_forward
+from video_moment_localization_tpu.ops.nms import soft_nms_topk
+from video_moment_localization_tpu.train.metrics import proposal_scores
+from video_moment_localization_tpu.utils.checkpoint import (
+    checkpoint_paths,
+    restore_checkpoint,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Moment:
+    start: float   # seconds
+    end: float     # seconds
+    score: float
+
+
+class MomentLocalizer:
+    """Batched moment-localization scorer around a trained SMIN."""
+
+    def __init__(self, model_cfg: ModelConfig, params, embedding: WordEmbedding,
+                 serve_batch: int = 16, use_nms: bool = False,
+                 nms_sigma: float = 0.5):
+        self.cfg = model_cfg
+        self.params = params
+        self.embedding = embedding
+        self.serve_batch = serve_batch
+        self.use_nms = use_nms
+        self.nms_sigma = nms_sigma
+        self._score = jax.jit(
+            partial(self._score_impl, model_cfg, use_nms, nms_sigma),
+            static_argnums=(7,),  # top_k is a static shape parameter
+        )
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _score_impl(cfg: ModelConfig, use_nms: bool, nms_sigma: float,
+                    params, vf, vm, qf, qm, lm, mm, k: int):
+        pm, ps, pe, _ = smin_forward(params, cfg, vf, vm, qf, qm, lm, mm)
+        score = proposal_scores(pm, ps, pe, mm).reshape(pm.shape[0], -1)
+        if use_nms:
+            return soft_nms_topk(score, cfg.L, k, nms_sigma)
+        return jax.lax.top_k(score, k)
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_checkpoint(cls, config_path: str, glove_path: Optional[str] = None,
+                        serve_batch: int = 16, use_nms: bool = False) -> "MomentLocalizer":
+        cfg: Config = load_config(config_path)
+        embedding = WordEmbedding.load(glove_path)
+        params = init_smin_params(jax.random.PRNGKey(cfg.seed), cfg.model)
+        model_path, _ = checkpoint_paths(cfg.checkpoint_path, cfg.experiment)
+        restored = restore_checkpoint(model_path, jax.tree.map(np.asarray, params),
+                                      opt_state_template=None)
+        if restored is None:
+            raise FileNotFoundError(f"No saved model at {model_path}!")
+        return cls(cfg.model, restored["params"], embedding,
+                   serve_batch=serve_batch, use_nms=use_nms,
+                   nms_sigma=cfg.nms_sigma)
+
+    # ------------------------------------------------------------------ #
+    def _prepare(self, clip_features: np.ndarray, query: str):
+        cfg = self.cfg
+        vf, nfeats, _, _ = sample_fixed_length_features(
+            np.asarray(clip_features, np.float32), cfg.T, 0.0, 1.0, train=False
+        )
+        video_mask, length_mask, moment_mask = build_masks(nfeats, cfg.T, cfg.L)
+        token_ids, qf = self.embedding.encode(get_tokens(query), cfg.max_query_length)
+        qm = self.embedding.query_mask(token_ids)[:, None]
+        return vf, video_mask, qf, qm, length_mask, moment_mask
+
+    def localize_batch(
+        self,
+        requests: Sequence[Tuple[np.ndarray, str, float]],
+        top_k: int = 5,
+    ) -> List[List[Moment]]:
+        """Score (clip_features (nfeats, dv), query, duration_s) requests.
+
+        Returns, per request, the top_k moments as [start_s, end_s, score]
+        in descending score order.
+        """
+        cfg = self.cfg
+        results: List[List[Moment]] = []
+        for chunk_start in range(0, len(requests), self.serve_batch):
+            chunk = requests[chunk_start : chunk_start + self.serve_batch]
+            rows = [self._prepare(f, q) for f, q, _ in chunk]
+            n = len(rows)
+            pad = self.serve_batch - n
+
+            def stack(i):
+                arr = np.stack([r[i] for r in rows])
+                if pad:
+                    arr = np.concatenate(
+                        [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+                    )
+                return jnp.asarray(arr)
+
+            vals, idxs = self._score(
+                self.params, stack(0), stack(1), stack(2), stack(3),
+                stack(4), stack(5), top_k,
+            )
+            vals, idxs = np.asarray(vals), np.asarray(idxs)
+            for b, (_, _, duration) in enumerate(chunk):
+                moments = []
+                for k in range(top_k):
+                    flat = int(idxs[b, k])
+                    i, j = divmod(flat, cfg.L)
+                    moments.append(Moment(
+                        start=i * duration / cfg.L,
+                        end=(j + 1) * duration / cfg.L,
+                        score=float(vals[b, k]),
+                    ))
+                results.append(moments)
+        return results
+
+    def localize(self, clip_features: np.ndarray, query: str, duration: float,
+                 top_k: int = 5) -> List[Moment]:
+        """Single-request convenience wrapper."""
+        return self.localize_batch([(clip_features, query, duration)], top_k)[0]

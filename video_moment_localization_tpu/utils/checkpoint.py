@@ -43,17 +43,21 @@ def save_checkpoint(path: str, epoch: int, params: Any, opt_state: Any) -> None:
 
 
 def restore_checkpoint(
-    path: str, params_template: Any, opt_state_template: Any
+    path: str, params_template: Any, opt_state_template: Any = None
 ) -> Optional[Dict[str, Any]]:
     """Restore {epoch, params, opt_state} or None if no checkpoint exists.
 
     Templates define the pytree structure (incl. optax namedtuples) that the
-    stored arrays are poured back into.
+    stored arrays are poured back into. Pass ``opt_state_template=None`` for
+    inference-only restores (opt_state comes back None).
     """
     abspath = os.path.abspath(path)
     if not os.path.exists(abspath):
         return None
     raw = ocp.PyTreeCheckpointer().restore(abspath)
     params = serialization.from_state_dict(params_template, raw["params"])
-    opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
+    opt_state = (
+        serialization.from_state_dict(opt_state_template, raw["opt_state"])
+        if opt_state_template is not None else None
+    )
     return {"epoch": int(raw["epoch"]), "params": params, "opt_state": opt_state}
