@@ -13,7 +13,7 @@ Params/opt-state buffers are donated — Adam runs in place in HBM.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable, Dict, Tuple
 
 import jax

@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -32,7 +32,7 @@ from video_moment_localization_tpu.data.pipeline import BatchLoader
 from video_moment_localization_tpu.models import init_smin_params
 from video_moment_localization_tpu.parallel.mesh import make_mesh, put_batch, put_replicated
 from video_moment_localization_tpu.parallel.steps import make_eval_step, make_train_step
-from video_moment_localization_tpu.train.metrics import METRIC_MS, METRIC_NS, counts_to_dict
+from video_moment_localization_tpu.train.metrics import counts_to_dict
 from video_moment_localization_tpu.utils.checkpoint import (
     checkpoint_paths,
     restore_checkpoint,
