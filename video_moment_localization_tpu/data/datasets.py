@@ -32,7 +32,7 @@ import numpy as np
 
 from video_moment_localization_tpu.data import native
 from video_moment_localization_tpu.data.glove import WordEmbedding
-from video_moment_localization_tpu.data.sampler import sample_fixed_length_features
+from video_moment_localization_tpu.data.sampler import sample_frame_indices
 from video_moment_localization_tpu.data.tokenizer import get_tokens
 
 # Keys of the fixed-shape tensor fields in a sample/batch (the reference's
@@ -89,6 +89,17 @@ class MomentDataset:
     def _load_video_features(self, vid: str) -> np.ndarray:
         raise NotImplementedError("subclasses must load raw clip features")
 
+    def _video_source(self, vid: str):
+        """(nfeats, dv, fetch) where fetch(frame_idx) returns those rows.
+
+        Default: full in-memory load. Readers override this to fetch ONLY
+        the <= T sampled rows from disk (h5py fancy selection, mmap'd npy) —
+        long videos otherwise read 10-20x more bytes than the model uses
+        (the reference always loads whole videos, dataset.py:234,275,315).
+        """
+        feat = self._load_video_features(vid)
+        return feat.shape[0], feat.shape[1], lambda idx: feat[idx]
+
     # ------------------------------------------------------------------ #
     def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
         """Assemble one training/eval sample as a dict of float32 arrays.
@@ -103,10 +114,13 @@ class MomentDataset:
         spos_n = spos / duration
         epos_n = epos / duration
 
-        raw = self._load_video_features(vid)
-        video_features, nfeats, start_index, end_index = sample_fixed_length_features(
-            raw, self.T, spos_n, epos_n, train=(self.split == "train"), rng=rng
+        nfeats_raw, dv, fetch = self._video_source(vid)
+        frame_idx, nfeats, start_index, end_index = sample_frame_indices(
+            nfeats_raw, self.T, spos_n, epos_n,
+            train=(self.split == "train"), rng=rng,
         )
+        video_features = np.zeros((self.T, dv), dtype=np.float32)
+        video_features[:nfeats] = fetch(frame_idx)
         # Native C kernels when built (csrc/vml_native.cpp); NumPy otherwise.
         video_mask, length_mask, moment_mask = native.build_masks(
             nfeats, self.T, self.L
@@ -212,6 +226,13 @@ class CharadesSTA(MomentDataset):
     def _load_video_features(self, vid: str) -> np.ndarray:
         return np.load(self.feature_path.format(vid)).squeeze()
 
+    def _video_source(self, vid: str):
+        # mmap: only the <= T sampled rows are paged in from disk.
+        arr = np.load(self.feature_path.format(vid), mmap_mode="r").squeeze()
+        return arr.shape[0], arr.shape[1], (
+            lambda idx: np.asarray(arr[idx], dtype=np.float32)
+        )
+
 
 class _Hdf5Dataset(MomentDataset):
     """Shared HDF5 feature reading with one handle per thread."""
@@ -226,6 +247,17 @@ class _Hdf5Dataset(MomentDataset):
             handle = h5py.File(self.feature_file, "r")
             self._local.h5 = handle
         return handle
+
+    def _dset(self, vid: str):
+        raise NotImplementedError
+
+    def _video_source(self, vid: str):
+        # h5py fancy selection reads only the sampled rows (frame indices
+        # are strictly increasing by construction — sampler stride >= 1).
+        d = self._dset(vid)
+        return d.shape[0], d.shape[1], (
+            lambda idx: np.asarray(d[idx], dtype=np.float32)
+        )
 
 
 class ActivityNet(_Hdf5Dataset):
@@ -242,8 +274,11 @@ class ActivityNet(_Hdf5Dataset):
             os.path.join(data_dir, f"{split}.json"), frame_times=False
         )
 
+    def _dset(self, vid: str):
+        return self._h5()[vid]["c3d_features"]
+
     def _load_video_features(self, vid: str) -> np.ndarray:
-        return np.asarray(self._h5()[vid]["c3d_features"][:])
+        return np.asarray(self._dset(vid)[:])
 
 
 class TACoS(_Hdf5Dataset):
@@ -260,8 +295,11 @@ class TACoS(_Hdf5Dataset):
             os.path.join(data_dir, f"{split}.json"), frame_times=True
         )
 
+    def _dset(self, vid: str):
+        return self._h5()[vid]
+
     def _load_video_features(self, vid: str) -> np.ndarray:
-        return np.asarray(self._h5()[vid][:])
+        return np.asarray(self._dset(vid)[:])
 
 
 _DATASETS = {

@@ -24,20 +24,21 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def sample_fixed_length_features(
-    feat: np.ndarray,
+def sample_frame_indices(
+    nfeats: int,
     T: int,
     start_pos_n: float,
     end_pos_n: float,
     train: bool,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, int, int, int]:
-    """Sample raw features (nfeats, dv) to a fixed-length (T, dv) array.
+    """Index half of the sampler: which raw frames to keep.
 
-    Returns (features (T, dv) float32, nfeats_clamped, start_index, end_index)
-    where start/end_index are the GT span's positions in sampled-frame space.
+    Returns (frame_idx (nfeats_clamped,) int, nfeats_clamped, start_index,
+    end_index). Separating index math from the gather lets dataset readers
+    fetch ONLY the sampled rows from disk (h5py fancy selection / mmap'd
+    npy) instead of whole videos.
     """
-    nfeats = feat.shape[0]
     stride = 1.0 if nfeats <= T else nfeats * 1.0 / T
 
     if not train:
@@ -70,8 +71,25 @@ def sample_fixed_length_features(
         if frame_idx[i] <= start_pos < frame_idx[i + 1]:
             start_index = i
 
-    cur = feat[frame_idx, :]
-    nfeats_clamped = min(nfeats, T)
+    return frame_idx, min(nfeats, T), start_index, end_index
+
+
+def sample_fixed_length_features(
+    feat: np.ndarray,
+    T: int,
+    start_pos_n: float,
+    end_pos_n: float,
+    train: bool,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, int, int, int]:
+    """Sample raw features (nfeats, dv) to a fixed-length (T, dv) array.
+
+    Returns (features (T, dv) float32, nfeats_clamped, start_index, end_index)
+    where start/end_index are the GT span's positions in sampled-frame space.
+    """
+    frame_idx, nfeats_clamped, start_index, end_index = sample_frame_indices(
+        feat.shape[0], T, start_pos_n, end_pos_n, train, rng
+    )
     out = np.zeros((T, feat.shape[1]), dtype=np.float32)
-    out[:nfeats_clamped, :] = cur
+    out[:nfeats_clamped, :] = feat[frame_idx, :]
     return out, nfeats_clamped, start_index, end_index
