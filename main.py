@@ -35,7 +35,11 @@ def get_parameters() -> argparse.Namespace:
     parser.add_argument("--nms", default=False, action="store_true",
                         help="Use soft-NMS proposal selection at eval.")
     parser.add_argument("--num_devices", default=None, type=int,
-                        help="Data-parallel device count (default: all).")
+                        help="Total device count (default: all).")
+    parser.add_argument("--seq_devices", default=1, type=int,
+                        help="Sequence-parallel width: shard the clip axis "
+                             "and proposal-map rows over this many devices "
+                             "(2-D data x seq mesh when > 1).")
     parser.add_argument("--compute_dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="Activation compute dtype.")
@@ -54,6 +58,8 @@ def main() -> None:
         cfg.nms = True
     if args.num_devices is not None:
         cfg.num_devices = args.num_devices
+    if args.seq_devices != 1:
+        cfg.seq_devices = args.seq_devices
     if args.profile_dir is not None:
         cfg.profile_dir = args.profile_dir
     if args.compute_dtype:

@@ -102,7 +102,8 @@ class Config:
     # Extensions beyond the reference surface:
     nms: bool = False            # soft-NMS at eval (reference: "NOT IMPLEMENTED YET", utils.py:14)
     nms_sigma: float = 0.5
-    num_devices: Optional[int] = None  # data-parallel devices (None = all)
+    num_devices: Optional[int] = None  # total devices (None = all)
+    seq_devices: int = 1               # sequence-parallel width (2-D mesh when > 1)
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     @property
@@ -170,6 +171,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         experiment=experiment,
         nms=bool(params.get("nms", False)),
         nms_sigma=float(params.get("nms_sigma", 0.5)),
+        seq_devices=int(params.get("seq_devices", 1)),
     )
 
 

@@ -223,6 +223,30 @@ def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
+def make_eval_step_2d(cfg: ModelConfig, mesh: Mesh, use_nms: bool = False,
+                      nms_sigma: float = 0.5):
+    """Eval counterpart of make_train_step_2d (forward + loss + counts)."""
+    from video_moment_localization_tpu.train.loss import smin_loss
+    from video_moment_localization_tpu.train.metrics import recall_counts
+
+    def eval_step(params, batch):
+        outputs = smin_forward_seq_sharded(
+            params, cfg,
+            batch["video_features"], batch["video_mask"],
+            batch["query_features"], batch["query_mask"],
+            batch["length_mask"], batch["moment_mask"],
+            mesh=mesh,
+        )
+        loss, aux = smin_loss(outputs, batch)
+        pm, ps, pe, _ = outputs
+        counts = recall_counts(pm, ps, pe, batch["moment_mask"], batch["sm"],
+                               batch.get("sample_mask"),
+                               use_nms=use_nms, nms_sigma=nms_sigma)
+        return {"loss": loss, "num_valid": aux["num_valid"], "counts": counts}
+
+    return jax.jit(eval_step)
+
+
 def put_batch_2d(batch, mesh: Mesh):
     """Shard a host batch for the 2-D step: batch axis on ``data``; the
     clip axis / map rows on ``seq``; per-snippet labels data-sharded only."""

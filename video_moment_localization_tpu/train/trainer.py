@@ -73,7 +73,10 @@ class Trainer:
 
     def __init__(self, cfg: Config, embedding: Optional[WordEmbedding] = None):
         self.cfg = cfg
-        if cfg.num_devices is None:
+        self.seq = max(1, int(cfg.seq_devices))
+        if self.seq > 1:
+            self._init_mesh_2d()
+        elif cfg.num_devices is None:
             # Default: the most devices that evenly divide the global batch.
             n = len(jax.devices())
             while cfg.batch_size % n != 0:
@@ -92,14 +95,54 @@ class Trainer:
         params = init_smin_params(jax.random.PRNGKey(cfg.seed), cfg.model)
         self.params = put_replicated(params, self.mesh)
         self.opt_state = put_replicated(self.optimizer.init(params), self.mesh)
-        self.train_step = make_train_step(cfg.model, self.optimizer)
-        self.eval_step = make_eval_step(cfg.model)
-        self.test_step = make_eval_step(cfg.model, use_nms=cfg.nms,
-                                        nms_sigma=cfg.nms_sigma)
+        if self.seq > 1:
+            from video_moment_localization_tpu.parallel.model_parallel import (
+                make_eval_step_2d,
+                make_train_step_2d,
+            )
+
+            self.train_step = make_train_step_2d(cfg.model, self.optimizer, self.mesh)
+            self.eval_step = make_eval_step_2d(cfg.model, self.mesh)
+            self.test_step = make_eval_step_2d(cfg.model, self.mesh,
+                                               use_nms=cfg.nms,
+                                               nms_sigma=cfg.nms_sigma)
+        else:
+            self.train_step = make_train_step(cfg.model, self.optimizer)
+            self.eval_step = make_eval_step(cfg.model)
+            self.test_step = make_eval_step(cfg.model, use_nms=cfg.nms,
+                                            nms_sigma=cfg.nms_sigma)
         self.model_path, self.stats_path = checkpoint_paths(
             cfg.checkpoint_path, cfg.experiment
         )
         self.timer = StepTimer()
+
+    def _init_mesh_2d(self) -> None:
+        """2-D (data x seq) mesh for sequence-parallel training."""
+        import dataclasses
+
+        from jax.sharding import Mesh
+
+        cfg = self.cfg
+        total = cfg.num_devices or len(jax.devices())
+        if total % self.seq != 0:
+            raise ValueError(
+                f"device count ({total}) must be divisible by seq_devices "
+                f"({self.seq})"
+            )
+        nd = total // self.seq
+        m = cfg.model
+        if cfg.batch_size % nd != 0 or m.T % self.seq != 0 or m.L % self.seq != 0:
+            raise ValueError(
+                f"2-D mesh needs batch_size % {nd} == 0 and "
+                f"T ({m.T}), L ({m.L}) divisible by seq_devices ({self.seq})"
+            )
+        if m.packed:
+            # Sequence-parallel units run in the dense row-sharded layout.
+            self.cfg.model = dataclasses.replace(m, packed=False)
+        self.mesh = Mesh(
+            np.asarray(jax.devices()[:total]).reshape(nd, self.seq),
+            ("data", "seq"),
+        )
 
     def _maybe_enable_remat(self) -> None:
         """Auto-enable SMI rematerialization when the estimated backward
@@ -126,8 +169,16 @@ class Trainer:
         """One pass over a loader; returns (avg loss, normalized metrics)."""
         loss_sum, counts_sum, num = 0.0, None, 0.0
         step_fn = step_fn or (self.train_step if train else self.eval_step)
+        if self.seq > 1:
+            from video_moment_localization_tpu.parallel.model_parallel import (
+                put_batch_2d,
+            )
+
+            place = lambda b: put_batch_2d(b, self.mesh)  # noqa: E731
+        else:
+            place = lambda b: put_batch(b, self.mesh)  # noqa: E731
         for batch in loader.epoch(epoch):
-            device = put_batch(batch, self.mesh)
+            device = place(batch)
             self.timer.start()
             if train:
                 self.params, self.opt_state, m = step_fn(
