@@ -36,7 +36,7 @@ def get_parameters() -> argparse.Namespace:
                         help="Use soft-NMS proposal selection at eval.")
     parser.add_argument("--num_devices", default=None, type=int,
                         help="Total device count (default: all).")
-    parser.add_argument("--seq_devices", default=1, type=int,
+    parser.add_argument("--seq_devices", default=None, type=int,
                         help="Sequence-parallel width: shard the clip axis "
                              "and proposal-map rows over this many devices "
                              "(2-D data x seq mesh when > 1).")
@@ -58,7 +58,7 @@ def main() -> None:
         cfg.nms = True
     if args.num_devices is not None:
         cfg.num_devices = args.num_devices
-    if args.seq_devices != 1:
+    if args.seq_devices is not None:
         cfg.seq_devices = args.seq_devices
     if args.profile_dir is not None:
         cfg.profile_dir = args.profile_dir

@@ -77,7 +77,10 @@ class MomentLocalizer:
     # ------------------------------------------------------------------ #
     @classmethod
     def from_checkpoint(cls, config_path: str, glove_path: Optional[str] = None,
-                        serve_batch: int = 16, use_nms: bool = False) -> "MomentLocalizer":
+                        serve_batch: int = 16,
+                        use_nms: Optional[bool] = None) -> "MomentLocalizer":
+        """use_nms=None inherits the config's ``nms`` eval setting, so a
+        model evaluated with soft-NMS serves with soft-NMS too."""
         cfg: Config = load_config(config_path)
         embedding = WordEmbedding.load(glove_path)
         params = init_smin_params(jax.random.PRNGKey(cfg.seed), cfg.model)
@@ -87,7 +90,8 @@ class MomentLocalizer:
         if restored is None:
             raise FileNotFoundError(f"No saved model at {model_path}!")
         return cls(cfg.model, restored["params"], embedding,
-                   serve_batch=serve_batch, use_nms=use_nms,
+                   serve_batch=serve_batch,
+                   use_nms=cfg.nms if use_nms is None else use_nms,
                    nms_sigma=cfg.nms_sigma)
 
     # ------------------------------------------------------------------ #

@@ -194,8 +194,8 @@ def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
     """
     import optax
 
+    from video_moment_localization_tpu.parallel.steps import _step_metrics
     from video_moment_localization_tpu.train.loss import smin_loss
-    from video_moment_localization_tpu.train.metrics import recall_counts
 
     def train_step(params, opt_state, batch):
         def loss_fn(p):
@@ -213,12 +213,8 @@ def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
             loss_fn, has_aux=True)(params)
         updates, opt_state_new = optimizer.update(grads, opt_state, params)
         params_new = optax.apply_updates(params, updates)
-        pm, ps, pe, _ = outputs
-        counts = recall_counts(pm, ps, pe, batch["moment_mask"], batch["sm"],
-                               batch.get("sample_mask"))
-        return params_new, opt_state_new, {
-            "loss": loss, "num_valid": aux["num_valid"], "counts": counts,
-        }
+        metrics = _step_metrics(outputs, loss, aux, batch, False, 0.0)
+        return params_new, opt_state_new, metrics
 
     return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -226,8 +222,8 @@ def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
 def make_eval_step_2d(cfg: ModelConfig, mesh: Mesh, use_nms: bool = False,
                       nms_sigma: float = 0.5):
     """Eval counterpart of make_train_step_2d (forward + loss + counts)."""
+    from video_moment_localization_tpu.parallel.steps import _step_metrics
     from video_moment_localization_tpu.train.loss import smin_loss
-    from video_moment_localization_tpu.train.metrics import recall_counts
 
     def eval_step(params, batch):
         outputs = smin_forward_seq_sharded(
@@ -238,11 +234,7 @@ def make_eval_step_2d(cfg: ModelConfig, mesh: Mesh, use_nms: bool = False,
             mesh=mesh,
         )
         loss, aux = smin_loss(outputs, batch)
-        pm, ps, pe, _ = outputs
-        counts = recall_counts(pm, ps, pe, batch["moment_mask"], batch["sm"],
-                               batch.get("sample_mask"),
-                               use_nms=use_nms, nms_sigma=nms_sigma)
-        return {"loss": loss, "num_valid": aux["num_valid"], "counts": counts}
+        return _step_metrics(outputs, loss, aux, batch, use_nms, nms_sigma)
 
     return jax.jit(eval_step)
 

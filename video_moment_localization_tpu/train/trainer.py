@@ -123,7 +123,10 @@ class Trainer:
         from jax.sharding import Mesh
 
         cfg = self.cfg
-        total = cfg.num_devices or len(jax.devices())
+        available = len(jax.devices())
+        total = cfg.num_devices or available
+        if total > available:
+            raise ValueError(f"requested {total} devices, only {available} available")
         if total % self.seq != 0:
             raise ValueError(
                 f"device count ({total}) must be divisible by seq_devices "
@@ -139,6 +142,8 @@ class Trainer:
         if m.packed:
             # Sequence-parallel units run in the dense row-sharded layout.
             self.cfg.model = dataclasses.replace(m, packed=False)
+            print("[trainer] 2-D (data x seq) mesh: switching to the dense "
+                  "row-sharded layout (packed=False)")
         self.mesh = Mesh(
             np.asarray(jax.devices()[:total]).reshape(nd, self.seq),
             ("data", "seq"),
