@@ -80,6 +80,15 @@ class MomentDataset:
     def __len__(self) -> int:
         return len(self.annotations)
 
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        """Map-style access (reference dataset.py:129 compatibility).
+
+        Equivalent to ``sample(index)`` with the process-global RNG for
+        training jitter; prefer ``sample(index, rng)`` in pipelines that
+        need reproducibility (data/pipeline.py threads explicit streams).
+        """
+        return self.sample(index)
+
     # ------------------------------------------------------------------ #
     def _encode_query(self, query: str):
         tokens = get_tokens(query)
