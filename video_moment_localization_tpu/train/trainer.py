@@ -172,7 +172,6 @@ class Trainer:
     def _run_epoch(self, loader: BatchLoader, epoch: int, train: bool,
                    step_fn=None) -> Tuple[float, Dict[str, float]]:
         """One pass over a loader; returns (avg loss, normalized metrics)."""
-        loss_sum, counts_sum, num = 0.0, None, 0.0
         step_fn = step_fn or (self.train_step if train else self.eval_step)
         if self.seq > 1:
             from video_moment_localization_tpu.parallel.model_parallel import (
@@ -182,21 +181,31 @@ class Trainer:
             place = lambda b: put_batch_2d(b, self.mesh)  # noqa: E731
         else:
             place = lambda b: put_batch(b, self.mesh)  # noqa: E731
+
+        # Fully asynchronous epoch: steps are dispatched back-to-back with no
+        # host synchronization (per-step metrics stay on device; valid-sample
+        # counts come from the host-side batch), so input transfer and
+        # compute pipeline. One sync at epoch end drains everything.
+        per_step = []
+        total = 0
+        self.timer.start()
         for batch in loader.epoch(epoch):
             device = place(batch)
-            self.timer.start()
             if train:
                 self.params, self.opt_state, m = step_fn(
                     self.params, self.opt_state, device
                 )
             else:
                 m = step_fn(self.params, device)
-            n_valid = float(m["num_valid"])
-            self.timer.stop(int(n_valid))
+            per_step.append((m, float(batch["sample_mask"].sum())))
+            total += int(per_step[-1][1])
+        loss_sum, counts_sum, num = 0.0, None, 0.0
+        for m, n_valid in per_step:
             loss_sum += float(m["loss"]) * n_valid
             counts = np.asarray(m["counts"])
             counts_sum = counts if counts_sum is None else counts_sum + counts
             num += n_valid
+        self.timer.stop(total)
         metrics = counts_to_dict(counts_sum / max(num, 1.0)) if counts_sum is not None else {}
         return loss_sum / max(num, 1.0), metrics
 
