@@ -235,9 +235,25 @@ class CharadesSTA(MomentDataset):
     def _load_video_features(self, vid: str) -> np.ndarray:
         return np.load(self.feature_path.format(vid)).squeeze()
 
+    _MMAP_CACHE_SIZE = 128  # open-file cap per worker thread
+
     def _video_source(self, vid: str):
-        # mmap: only the <= T sampled rows are paged in from disk.
-        arr = np.load(self.feature_path.format(vid), mmap_mode="r").squeeze()
+        # mmap: only the <= T sampled rows are paged in from disk. Handles
+        # are LRU-cached per thread — most videos carry several queries, and
+        # the np.load open cost (~0.2 ms) otherwise dominates the sample.
+        cache = getattr(self._local, "mmap_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._local.mmap_cache = OrderedDict()
+        arr = cache.get(vid)
+        if arr is None:
+            arr = np.load(self.feature_path.format(vid), mmap_mode="r").squeeze()
+            cache[vid] = arr
+            if len(cache) > self._MMAP_CACHE_SIZE:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(vid)
         return arr.shape[0], arr.shape[1], (
             lambda idx: np.asarray(arr[idx], dtype=np.float32)
         )
