@@ -47,6 +47,13 @@ def get_parameters() -> argparse.Namespace:
                         help="Write a jax.profiler trace to this directory.")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="Enable jax_debug_nans (fail fast on NaN/Inf).")
+    parser.add_argument("--save_best", default=None,
+                        help="Track the best checkpoint by this eval metric "
+                             "(e.g. 'R@1, IoU=0.5'); saves "
+                             "{experiment}_model_best.ckpt.")
+    parser.add_argument("--best", default=False, action="store_true",
+                        help="With --test: load the best checkpoint instead "
+                             "of the last one.")
     return parser.parse_args()
 
 
@@ -60,6 +67,8 @@ def main() -> None:
         cfg.num_devices = args.num_devices
     if args.seq_devices is not None:
         cfg.seq_devices = args.seq_devices
+    if args.save_best is not None:
+        cfg.save_best = args.save_best
     if args.profile_dir is not None:
         cfg.profile_dir = args.profile_dir
     if args.compute_dtype:
@@ -82,7 +91,7 @@ def main() -> None:
         test_ds = build_datasets(cfg, test_only=True)
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False,
                                   num_workers=cfg.num_workers, seed=cfg.seed)
-        trainer.load_for_test()
+        trainer.load_for_test(use_best=args.best)
         metrics = trainer.evaluate(test_loader)
         for k, v in metrics.items():
             print(f"{k} - {v}")

@@ -1,0 +1,109 @@
+"""On-device Pallas kernel verification.
+
+The test suite exercises the kernels in interpret mode on CPU; this script
+compiles them on the actual accelerator and checks numerical parity against
+the XLA reference paths at real model scales. Run on TPU hardware:
+
+    python scripts/verify_kernels.py            # all scales
+    python scripts/verify_kernels.py --quick    # Charades scale only
+
+Exits nonzero on any mismatch.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def check(name: str, got, want, rtol=2e-5, atol=2e-5) -> bool:
+    ok = all(
+        np.allclose(np.asarray(g), np.asarray(w), rtol=rtol, atol=atol)
+        for g, w in zip(got, want)
+    )
+    print(f"{'PASS' if ok else 'FAIL'}  {name}")
+    return ok
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_moment_localization_tpu.ops.proposal import (
+        proposal_features,
+        proposal_features_packed,
+    )
+    from video_moment_localization_tpu.ops.proposal_pallas import (
+        proposal_features_pallas,
+        proposal_features_packed_pallas,
+    )
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    scales = [("charades", 8, 64, 16, 4, 512)]
+    if not args.quick:
+        scales += [("tacos", 4, 128, 32, 4, 512), ("activitynet", 4, 128, 64, 4, 512)]
+
+    ok = True
+    rng = np.random.default_rng(0)
+    for name, B, T, L, C, D in scales:
+        f = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+        length = np.ones((B, L), np.float32)
+        length[0, L // 2 :] = 0
+        lm = jnp.asarray(length)
+        mm = jnp.asarray(np.triu(np.einsum("bi,bj->bij", length, length)))
+
+        dense_ref = jax.jit(lambda a, b: proposal_features(a, b, L, C))(f, mm)
+        dense_ker = jax.jit(lambda a, b: proposal_features_pallas(a, b, L, C))(f, mm)
+        ok &= check(f"{name}: dense proposal kernel", dense_ker, dense_ref)
+
+        packed_ref = jax.jit(lambda a, b: proposal_features_packed(a, b, L, C))(f, lm)
+        packed_ker = jax.jit(
+            lambda a, b: proposal_features_packed_pallas(a, b, L, C)
+        )(f, lm)
+        ok &= check(f"{name}: packed proposal kernel", packed_ker, packed_ref)
+
+    # Experimental fused ContentUnit (single-block scales only).
+    from video_moment_localization_tpu.config import ModelConfig
+    from video_moment_localization_tpu.models import init_smin_params
+    from video_moment_localization_tpu.models.smin import content_unit_packed
+    from video_moment_localization_tpu.ops.content_pallas import (
+        content_unit_fused,
+        supports,
+    )
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    cfg = ModelConfig(T=64, L=16, C=4, D=512, dl=128, num_smi_layers=1,
+                      input_video_dim=1024, max_query_length=13,
+                      lstm_hidden_size=256)
+    if supports(cfg.L, cfg.C):
+        params = init_smin_params(jax.random.PRNGKey(0), cfg)["smi"][0]["content"]
+        N = triu_packing(cfg.L).N
+        B = 4
+        f_c = jnp.asarray(rng.standard_normal((B, N, cfg.C, cfg.D)).astype(np.float32))
+        f_w = jnp.asarray(rng.standard_normal((B, 13, cfg.D)).astype(np.float32))
+        f_s = jnp.asarray(rng.standard_normal((B, cfg.D)).astype(np.float32))
+        f_m = jnp.asarray(rng.standard_normal((B, N, cfg.D)).astype(np.float32))
+        qm = jnp.ones((B, 13, 1), jnp.float32)
+        vm = jnp.ones((B, N), jnp.float32)
+        ref = content_unit_packed(params, f_c, f_w, f_s, f_m, qm, vm)
+        got = jax.jit(
+            lambda *a: content_unit_fused(*a)
+        )(params, f_c, f_w, f_s, f_m, qm, vm)
+        # compiled XLA f32 on TPU uses single-pass MXU (bf16-ish) by default;
+        # the kernel runs HIGHEST — compare at bf16-level tolerance.
+        ok &= check("charades: fused ContentUnit (experimental)", [got], [ref],
+                    rtol=2e-2, atol=2e-2)
+
+    print("ALL KERNELS VERIFIED" if ok else "KERNEL MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,6 +105,9 @@ class Config:
     num_devices: Optional[int] = None  # total devices (None = all)
     seq_devices: int = 1               # sequence-parallel width (2-D mesh when > 1)
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # Opt-in best-checkpoint tracking (the reference's TODO, main.py:269):
+    # an eval metric name, e.g. "R@1, IoU=0.5"; saves {exp}_model_best.ckpt.
+    save_best: Optional[str] = None
 
     @property
     def raw(self) -> Dict[str, Any]:
@@ -172,6 +175,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         nms=bool(params.get("nms", False)),
         nms_sigma=float(params.get("nms_sigma", 0.5)),
         seq_devices=int(params.get("seq_devices", 1)),
+        save_best=params.get("save_best"),
     )
 
 

@@ -114,6 +114,8 @@ class Trainer:
         self.model_path, self.stats_path = checkpoint_paths(
             cfg.checkpoint_path, cfg.experiment
         )
+        self.best_model_path = self.model_path.replace("_model.ckpt",
+                                                       "_model_best.ckpt")
         self.timer = StepTimer()
 
     def _init_mesh_2d(self) -> None:
@@ -235,20 +237,23 @@ class Trainer:
         self.opt_state = put_replicated(restored["opt_state"], self.mesh)
         return restored["epoch"] + 1
 
-    def load_for_test(self) -> None:
+    def load_for_test(self, use_best: bool = False) -> None:
+        path = self.best_model_path if use_best else self.model_path
         restored = restore_checkpoint(
-            self.model_path,
+            path,
             jax.tree.map(np.asarray, self.params),
             jax.tree.map(np.asarray, self.opt_state),
         )
         if restored is None:
-            raise FileNotFoundError(f"No saved model at {self.model_path}!")
+            raise FileNotFoundError(f"No saved model at {path}!")
         self.params = put_replicated(restored["params"], self.mesh)
 
     # ------------------------------------------------------------------ #
     def fit(self, train_loader: BatchLoader, eval_loader: BatchLoader) -> None:
         start_epoch = self.maybe_resume()
         stats = self._existing_stats(start_epoch)
+        best_key = f"eval_{self.cfg.save_best}" if self.cfg.save_best else None
+        best = max(stats[best_key], default=-float("inf")) if best_key else None
 
         with trace_context(self.cfg.profile_dir):
             for epoch in range(start_epoch, self.cfg.num_epochs + 1):
@@ -277,6 +282,18 @@ class Trainer:
                 with open(self.stats_path, "w") as f:
                     json.dump(stats, f)
                 save_checkpoint(self.model_path, epoch, self.params, self.opt_state)
+                if best_key is not None:
+                    current = eval_metrics.get(self.cfg.save_best)
+                    if current is None:
+                        raise ValueError(
+                            f"save_best metric {self.cfg.save_best!r} not in "
+                            f"eval metrics {sorted(eval_metrics)}"
+                        )
+                    if current > best:
+                        best = current
+                        save_checkpoint(self.best_model_path, epoch,
+                                        self.params, self.opt_state)
+                        print(f"new best {best_key} - {best} (epoch {epoch})")
 
     def evaluate(self, loader: BatchLoader) -> Dict[str, float]:
         """Metrics-only pass over a test loader (reference main.py:193-211)."""
