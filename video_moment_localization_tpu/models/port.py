@@ -89,3 +89,63 @@ def params_from_torch_state_dict(sd: Mapping[str, Any], cfg: ModelConfig) -> Dic
             "pa": _conv1x1(sd, "localization.conv_layer_pa"),
         },
     }
+
+
+# ------------------------------------------------------------------------- #
+# Reverse direction: this framework's params -> reference state_dict
+# ------------------------------------------------------------------------- #
+def _linear_out(sd, prefix: str, p) -> None:
+    sd[f"{prefix}.weight"] = _np(p["w"]).T
+    sd[f"{prefix}.bias"] = _np(p["b"])
+
+
+def _conv1x1_out(sd, prefix: str, p, conv2d: bool) -> None:
+    w = _np(p["w"]).T  # (out, in)
+    sd[f"{prefix}.weight"] = w[..., None, None] if conv2d else w[..., None]
+    sd[f"{prefix}.bias"] = _np(p["b"])
+
+
+def torch_state_dict_from_params(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """This framework's parameter pytree -> reference-layout state_dict.
+
+    Values are numpy arrays keyed by the reference module names
+    (models.py module tree), loadable into the reference SMIN after
+    `torch.from_numpy` conversion — the migration path back to torch.
+    Inverse of `params_from_torch_state_dict` (round-trip tested).
+    """
+    sd: Dict[str, np.ndarray] = {}
+    _linear_out(sd, "backbone.videoencoder.ve", params["video_encoder"]["ve"])
+    sd["backbone.videoencoder.pe.weight"] = _np(params["video_encoder"]["pe"])
+
+    for layer, directions in enumerate(params["query_encoder"]):
+        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            for key in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                torch_key = key.replace("w_", "weight_").replace("b_", "bias_")
+                sd[f"backbone.queryencoder.lstm.{torch_key}_l{layer}{suffix}"] = _np(
+                    directions[direction][key]
+                )
+
+    for i, layer in enumerate(params["smi"]):
+        pre = f"smis.{i}"
+        c = layer["content"]
+        _linear_out(sd, f"{pre}.content_unit.linear_c_hat", c["c_hat"])
+        _linear_out(sd, f"{pre}.content_unit.linear_w_hat", c["w_hat"])
+        _linear_out(sd, f"{pre}.content_unit.linear_s_hat", c["s_hat"])
+        _linear_out(sd, f"{pre}.content_unit.linear_c", c["c_out"])
+        _linear_out(sd, f"{pre}.content_unit.attn_layer.W_q", c["attn_q"])
+        _linear_out(sd, f"{pre}.content_unit.attn_layer.W_k", c["attn_k"])
+        _linear_out(sd, f"{pre}.boundary_unit.attn_layer.W_q",
+                    layer["boundary"]["attn_q"])
+        _linear_out(sd, f"{pre}.boundary_unit.attn_layer.W_k",
+                    layer["boundary"]["attn_k"])
+        _conv1x1_out(sd, f"{pre}.moment_unit.conv_layer_fb",
+                     layer["moment"]["conv_fb"], conv2d=True)
+        _conv1x1_out(sd, f"{pre}.moment_unit.conv_layer_fc",
+                     layer["moment"]["conv_fc"], conv2d=True)
+
+    _conv1x1_out(sd, "localization.conv_layer_pm", params["localization"]["pm"],
+                 conv2d=True)
+    for head in ("ps", "pe", "pa"):
+        _conv1x1_out(sd, f"localization.conv_layer_{head}",
+                     params["localization"][head], conv2d=False)
+    return sd

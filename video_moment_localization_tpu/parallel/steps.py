@@ -36,16 +36,15 @@ def _forward(params, cfg: ModelConfig, batch: Batch):
 
 
 def _step_metrics(outputs, loss, aux, batch: Batch, use_nms: bool, nms_sigma: float):
+    """Per-step device outputs: the loss scalar and recall counts only —
+    the trainer derives valid-sample counts host-side from sample_mask."""
+    del aux
     pm, ps, pe, _ = outputs
     counts = recall_counts(
         pm, ps, pe, batch["moment_mask"], batch["sm"], batch.get("sample_mask"),
         use_nms=use_nms, nms_sigma=nms_sigma,
     )
-    return {
-        "loss": loss,
-        "num_valid": aux["num_valid"],
-        "counts": counts,
-    }
+    return {"loss": loss, "counts": counts}
 
 
 def make_train_step(

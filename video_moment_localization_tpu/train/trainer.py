@@ -116,6 +116,14 @@ class Trainer:
         )
         self.best_model_path = self.model_path.replace("_model.ckpt",
                                                        "_model_best.ckpt")
+        if cfg.save_best is not None:
+            from video_moment_localization_tpu.train.metrics import metric_names
+
+            if cfg.save_best not in metric_names():
+                raise ValueError(
+                    f"save_best metric {cfg.save_best!r} unknown; choose "
+                    f"from {metric_names()}"
+                )
         self.timer = StepTimer()
 
     def _init_mesh_2d(self) -> None:
@@ -191,7 +199,7 @@ class Trainer:
         per_step = []
         total = 0
         self.timer.start()
-        for batch in loader.epoch(epoch):
+        for i, batch in enumerate(loader.epoch(epoch)):
             device = place(batch)
             if train:
                 self.params, self.opt_state, m = step_fn(
@@ -201,6 +209,10 @@ class Trainer:
                 m = step_fn(self.params, device)
             per_step.append((m, float(batch["sample_mask"].sum())))
             total += int(per_step[-1][1])
+            if (i + 1) % 16 == 0:
+                # Periodic drain: bounds the number of in-flight batches
+                # resident on device without giving up pipelining.
+                m["loss"].block_until_ready()
         loss_sum, counts_sum, num = 0.0, None, 0.0
         for m, n_valid in per_step:
             loss_sum += float(m["loss"]) * n_valid
@@ -282,13 +294,8 @@ class Trainer:
                 with open(self.stats_path, "w") as f:
                     json.dump(stats, f)
                 save_checkpoint(self.model_path, epoch, self.params, self.opt_state)
-                if best_key is not None:
-                    current = eval_metrics.get(self.cfg.save_best)
-                    if current is None:
-                        raise ValueError(
-                            f"save_best metric {self.cfg.save_best!r} not in "
-                            f"eval metrics {sorted(eval_metrics)}"
-                        )
+                if best_key is not None and self.cfg.save_best in eval_metrics:
+                    current = eval_metrics[self.cfg.save_best]
                     if current > best:
                         best = current
                         save_checkpoint(self.best_model_path, epoch,
