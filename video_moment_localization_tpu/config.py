@@ -108,6 +108,9 @@ class Config:
     # Opt-in best-checkpoint tracking (the reference's TODO, main.py:269):
     # an eval metric name, e.g. "R@1, IoU=0.5"; saves {exp}_model_best.ckpt.
     save_best: Optional[str] = None
+    # Evaluate every N epochs (the reference's open question, main.py:248;
+    # 1 = reference behavior). Skipped epochs record no eval_* entries.
+    eval_every: int = 1
 
     @property
     def raw(self) -> Dict[str, Any]:
@@ -176,6 +179,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         nms_sigma=float(params.get("nms_sigma", 0.5)),
         seq_devices=int(params.get("seq_devices", 1)),
         save_best=params.get("save_best"),
+        eval_every=int(params.get("eval_every", 1)),
     )
 
 

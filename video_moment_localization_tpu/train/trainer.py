@@ -229,9 +229,16 @@ class Trainer:
         (reference main.py:220-229)."""
         stats = defaultdict(list)
         if self.cfg.resume_training and os.path.exists(self.stats_path):
+            done = start_epoch - 1
+            # With eval_every > 1 the eval arrays are shorter: one entry per
+            # evaluated epoch (multiples of eval_every, plus the final epoch).
+            evals_done = done // self.cfg.eval_every
+            if done == self.cfg.num_epochs and done % self.cfg.eval_every:
+                evals_done += 1
             with open(self.stats_path) as f:
                 for key, val in json.load(f).items():
-                    stats[key] = val[: start_epoch - 1]
+                    keep = evals_done if key.startswith("eval") else done
+                    stats[key] = val[:keep]
         return stats
 
     def maybe_resume(self) -> int:
@@ -273,9 +280,16 @@ class Trainer:
                 self.timer.reset()
                 train_loss, train_metrics = self._run_epoch(train_loader, epoch, True)
                 train_tput = self.timer.throughput
-                eval_loss, eval_metrics = self._run_epoch(eval_loader, epoch, False)
-
-                print(f"Training Loss - {train_loss:.4f}, Eval Loss - {eval_loss:.4f}")
+                # eval_every=1 is the reference cadence; last epoch always evals.
+                do_eval = (epoch % self.cfg.eval_every == 0
+                           or epoch == self.cfg.num_epochs)
+                if do_eval:
+                    eval_loss, eval_metrics = self._run_epoch(eval_loader, epoch, False)
+                    print(f"Training Loss - {train_loss:.4f}, "
+                          f"Eval Loss - {eval_loss:.4f}")
+                else:
+                    eval_loss, eval_metrics = None, {}
+                    print(f"Training Loss - {train_loss:.4f}")
                 for k, v in train_metrics.items():
                     print(f"train_{k} - {v}")
                 for k, v in eval_metrics.items():
@@ -284,7 +298,12 @@ class Trainer:
 
                 stats["epoch"].append(epoch)
                 stats["train_loss"].append(train_loss)
-                stats["eval_loss"].append(eval_loss)
+                if do_eval:
+                    stats["eval_loss"].append(eval_loss)
+                    if self.cfg.eval_every != 1:
+                        # extra alignment key (absent at the reference cadence,
+                        # keeping the default stats schema identical)
+                        stats["eval_epoch"].append(epoch)
                 for k, v in train_metrics.items():
                     stats[f"train_{k}"].append(v)
                 for k, v in eval_metrics.items():
