@@ -87,6 +87,29 @@ def test_localize_single_and_batch(trained):
     assert [(m.start, m.end) for m in solo] == [(m.start, m.end) for m in out[0]]
 
 
+def test_localize_with_soft_nms(trained):
+    root, cfg_path, glove = trained
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    old = os.getcwd()
+    os.chdir(str(root))
+    try:
+        loc = MomentLocalizer.from_checkpoint(cfg_path, glove_path=glove,
+                                              serve_batch=2, use_nms=True)
+    finally:
+        os.chdir(old)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((40, 32)).astype(np.float32)
+    moments = loc.localize(feats, "person closes the window", duration=20.0, top_k=4)
+    assert len(moments) == 4
+    # soft-NMS suppresses heavy overlap among top selections: the top-2
+    # moments must not be near-duplicates
+    a, b = moments[0], moments[1]
+    inter = max(0.0, min(a.end, b.end) - max(a.start, b.start))
+    hull = max(a.end, b.end) - min(a.start, b.start)
+    assert inter / hull < 0.99
+
+
 def test_missing_checkpoint_raises(trained, tmp_path):
     root, cfg_path, glove = trained
     from video_moment_localization_tpu.inference import MomentLocalizer
