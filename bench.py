@@ -1,7 +1,7 @@
 """Benchmark: query-video pairs scored per second per chip (north star).
 
 Measures the full inference scoring path on the flagship Charades-STA-scale
-SMIN (T=64, L=16, C=4, D=512, 3 SMI layers, serving batch B=1024): forward
+SMIN (T=64, L=16, C=4, D=512, 3 SMI layers, serving batch B=4096): forward
 pass + final proposal scores pm*sqrt(ps)*sqrt(pe) + masked top-k — the same
 work the reference does per eval batch (reference models.py forward +
 utils.py:10-31).
@@ -30,8 +30,8 @@ BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 # Serving-style batch: large enough to amortize per-call host<->device
 # round-trip latency (the timing loop fetches results to host every
 # iteration to guarantee real completion under remote-execution transports).
-B = 1024
-ITERS = 10
+B = 4096
+ITERS = 8
 
 
 def main() -> None:
