@@ -190,12 +190,26 @@ def write_charades_style_dir(
     input_video_dim: int = 32,
     splits: List[str] = ("train", "test"),
     seed: int = 0,
+    signal_strength: float = 0.0,
+    videos_per_split: Optional[dict] = None,
 ) -> str:
     """Create a miniature on-disk Charades-STA data directory.
 
     Layout matches what the CharadesSTA reader expects:
     features/i3d_finetuned/{vid}.npy, annotations/charades_sta_{split}.txt,
     annotations/Charades_v1_{split}.csv.
+
+    ``signal_strength > 0`` makes the fixture *learnable*: each annotation's
+    ground-truth span gets a query-dependent additive pattern in the video
+    features (the mean GloVe vector of the query words, pushed through a
+    fixed random 300->input_video_dim projection). A model that learns the
+    cross-modal correlation can localize well above chance, so parity runs
+    compare real training dynamics rather than noise-fitting. The rng draw
+    sequence is identical to ``signal_strength == 0``, so existing fixtures
+    are byte-identical when the signal is off.
+
+    ``videos_per_split`` optionally overrides ``num_videos`` per split, e.g.
+    ``{"train": 250, "test": 50}``.
     """
     rng = np.random.default_rng(seed)
     feat_dir = os.path.join(root, "features/i3d_finetuned")
@@ -203,14 +217,22 @@ def write_charades_style_dir(
     os.makedirs(feat_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
 
+    if signal_strength > 0.0:
+        # Same vector sequence as write_glove_txt(seed=seed) below.
+        glove_rng = np.random.default_rng(seed)
+        word_vecs = {w: glove_rng.standard_normal(300) for w in _WORDS}
+        proj = np.random.default_rng(seed + 77).standard_normal(
+            (300, input_video_dim)
+        ) / np.sqrt(300.0)
+
     for split in splits:
         lines, csv_rows = [], []
-        for v in range(num_videos):
+        n_vids = (videos_per_split or {}).get(split, num_videos)
+        for v in range(n_vids):
             vid = f"{split.upper()}{v:03d}"
             nfeats = int(rng.integers(8, 90))
-            np.save(
-                os.path.join(feat_dir, f"{vid}.npy"),
-                rng.standard_normal((nfeats, 1, input_video_dim)).astype(np.float32),
+            feats = rng.standard_normal((nfeats, 1, input_video_dim)).astype(
+                np.float32
             )
             duration = round(float(nfeats) * 0.33, 2)
             csv_rows.append((vid, duration))
@@ -218,8 +240,16 @@ def write_charades_style_dir(
                 spos = round(float(rng.uniform(0, duration * 0.7)), 2)
                 epos = round(float(rng.uniform(spos + 0.1, duration)), 2)
                 nwords = int(rng.integers(2, 6))
-                query = " ".join(rng.choice(_WORDS, size=nwords))
+                words = rng.choice(_WORDS, size=nwords)
+                query = " ".join(words)
                 lines.append(f"{vid} {spos} {epos}##{query}")
+                if signal_strength > 0.0:
+                    u = np.mean([word_vecs[w] for w in words], axis=0) @ proj
+                    u = u / max(np.linalg.norm(u), 1e-6)
+                    lo = int(spos / duration * nfeats)
+                    hi = max(lo + 1, int(np.ceil(epos / duration * nfeats)))
+                    feats[lo:hi, 0, :] += (signal_strength * u).astype(np.float32)
+            np.save(os.path.join(feat_dir, f"{vid}.npy"), feats)
         with open(os.path.join(ann_dir, f"charades_sta_{split}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
         with open(os.path.join(ann_dir, f"Charades_v1_{split}.csv"), "w") as f:
