@@ -87,6 +87,56 @@ void vml_build_masks(int32_t nfeats, int32_t T, int32_t L, float* video_mask,
           (j >= i && i < valid && j < valid) ? 1.0f : 0.0f;
 }
 
+// Packed-layout variant of vml_generate_labels: sm/ym hold only the
+// N = L(L+1)/2 upper-triangular pairs in row-major (i, j >= i) order —
+// the order of numpy.triu_indices (ops/packing.py). Written for the packed
+// training pipeline where no (L, L) map ever exists.
+void vml_generate_labels_packed(double spos_d, double epos_d,
+                                double duration_d, int32_t L, float* sm,
+                                float* ym, float* ss, float* ys, float* se,
+                                float* ye, float* ya) {
+  const float spos = static_cast<float>(spos_d);
+  const float epos = static_cast<float>(epos_d);
+  const float duration = static_cast<float>(duration_d);
+  const float sigma = (epos - spos) / 5.0f;
+  const float denom = 2.0f * sigma * sigma;
+
+  int n = 0;
+  for (int i = 0; i < L; ++i) {
+    const float ps = snippet_start(i, duration, L);
+    const float pe_i = snippet_end(i, duration, L);
+    const float s_s = std::exp(-((ps - spos) * (ps - spos)) / denom);
+    const float s_e = std::exp(-((pe_i - epos) * (pe_i - epos)) / denom);
+    ss[i] = s_s;
+    ys[i] = s_s > 0.5f ? 1.0f : 0.0f;
+    se[i] = s_e;
+    ye[i] = s_e > 0.5f ? 1.0f : 0.0f;
+    ya[i] = (ps >= spos && pe_i <= epos) ? 1.0f : 0.0f;
+
+    for (int j = i; j < L; ++j, ++n) {
+      const float pe = snippet_end(j, duration, L);
+      const float inter =
+          std::fmax(0.0f, std::fmin(pe, epos) - std::fmax(ps, spos));
+      const float hull =
+          std::fmax(0.0f, std::fmax(pe, epos) - std::fmin(ps, spos));
+      const float iou = hull > 0.0f ? inter / hull : 0.0f;
+      sm[n] = iou;
+      ym[n] = iou > 0.5f ? 1.0f : 0.0f;
+    }
+  }
+}
+
+// Packed-mode masks: no dense moment mask (pair validity is derived on
+// device from length_mask).
+void vml_build_masks_packed(int32_t nfeats, int32_t T, int32_t L,
+                            float* video_mask, float* length_mask) {
+  for (int t = 0; t < T; ++t) video_mask[t] = t < nfeats ? 1.0f : 0.0f;
+  const double per_snippet = static_cast<double>(T) / static_cast<double>(L);
+  const int valid =
+      static_cast<int>(std::ceil(static_cast<double>(nfeats) / per_snippet));
+  for (int l = 0; l < L; ++l) length_mask[l] = l < valid ? 1.0f : 0.0f;
+}
+
 // Fixed-length sampler index math (data/sampler.py): frame indices via
 // round-half-to-even over arange(spos, nfeats-0.5, stride), truncated to T;
 // start/end GT indices via the linear scan over consecutive index pairs.

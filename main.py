@@ -54,6 +54,10 @@ def get_parameters() -> argparse.Namespace:
     parser.add_argument("--best", default=False, action="store_true",
                         help="With --test: load the best checkpoint instead "
                              "of the last one.")
+    parser.add_argument("--compat_metrics", default=False, action="store_true",
+                        help="Reference-compat eval: dense (L, L) score map "
+                             "and labels, bit-reproducing the reference's "
+                             "top-k tie quirk (PARITY.md #16).")
     return parser.parse_args()
 
 
@@ -73,6 +77,8 @@ def main() -> None:
         cfg.profile_dir = args.profile_dir
     if args.compute_dtype:
         cfg.model = dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype)
+    if args.compat_metrics:
+        cfg.model = dataclasses.replace(cfg.model, compat_head=True)
     if args.debug_nans:
         import jax
 

@@ -35,8 +35,33 @@ def _inputs(B=3, seed=0):
 
 
 def test_supports_thresholds():
-    assert supports(8, 4) and supports(16, 4)
-    assert not supports(64, 4)  # multi-block maps fall back to XLA
+    # v2 tiles arbitrarily large maps in row blocks — ActivityNet L=64
+    # (N*C = 8,320 rows) is in scope, not a fallback.
+    assert supports(8, 4) and supports(16, 4) and supports(64, 4)
+
+
+def test_fused_multiblock_matches_xla_packed():
+    # L=32 -> N*C = 2,112 rows > one block: exercises the row-block grid
+    # (padding, per-block fm slices, block-crossing pair groups).
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, T=32, L=32, C=2)
+    params = init_smin_params(jax.random.PRNGKey(4), cfg)
+    p = params["smi"][0]["content"]
+    rng = np.random.default_rng(5)
+    N = triu_packing(cfg.L).N
+    B = 2
+    f_c = jnp.asarray(rng.standard_normal((B, N, cfg.C, cfg.D)).astype(np.float32))
+    f_w = jnp.asarray(rng.standard_normal((B, cfg.max_query_length, cfg.D)).astype(np.float32))
+    f_s = jnp.asarray(rng.standard_normal((B, cfg.D)).astype(np.float32))
+    f_m = jnp.asarray(rng.standard_normal((B, N, cfg.D)).astype(np.float32))
+    qmask = jnp.ones((B, cfg.max_query_length, 1), jnp.float32)
+    vmask = np.ones((B, N), np.float32)
+    vmask[0, N // 3 :] = 0
+    ref = content_unit_packed(p, f_c, f_w, f_s, f_m, qmask, jnp.asarray(vmask))
+    got = content_unit_fused(p, f_c, f_w, f_s, f_m, qmask, jnp.asarray(vmask), True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_fused_matches_xla_packed():

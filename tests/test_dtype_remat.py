@@ -21,10 +21,11 @@ CFG = ModelConfig(
 )
 
 
-def _batch(B=4, seed=0):
+def _batch(B=4, seed=0, packed_labels=False):
     ds = SyntheticDataset(num_videos=B, queries_per_video=1, T=CFG.T, L=CFG.L,
                           max_query_length=CFG.max_query_length,
                           input_video_dim=CFG.input_video_dim, seed=seed)
+    ds.packed_labels = packed_labels
     b = device_batch(next(iter(BatchLoader(ds, B, num_workers=1, seed=seed).epoch(0))))
     return {k: jnp.asarray(v) for k, v in b.items()}
 
@@ -52,7 +53,7 @@ def test_bf16_training_is_finite_and_learns():
     params = init_smin_params(jax.random.PRNGKey(0), cfg16)
     opt_state = opt.init(params)
     step = make_train_step(cfg16, opt)
-    b = _batch()
+    b = _batch(packed_labels=cfg16.packed)
     losses = []
     for _ in range(25):
         params, opt_state, m = step(params, opt_state, b)

@@ -25,12 +25,15 @@ def test_overfit_reaches_recall_ceiling():
                           max_query_length=CFG.max_query_length,
                           input_video_dim=CFG.input_video_dim, seed=11,
                           split="test")  # eval split: no jitter, fixed batch
+    ds.packed_labels = CFG.packed
     batch = {k: jnp.asarray(v) for k, v in
              device_batch(next(iter(BatchLoader(ds, B, num_workers=1, seed=0).epoch(0)))).items()}
 
-    # provable ceiling: fraction of samples with any proposal IoU > 0.5
-    ceiling = float(jnp.mean((batch["sm"] * batch["moment_mask"])
-                             .reshape(B, -1).max(axis=1) > 0.5))
+    # provable ceiling: fraction of samples with any valid proposal IoU > 0.5
+    from video_moment_localization_tpu.ops.packing import packed_valid_mask
+
+    vmask = packed_valid_mask(batch["length_mask"])
+    ceiling = float(jnp.mean((batch["sm"] * vmask).max(axis=1) > 0.5))
     assert ceiling > 0.4, "degenerate fixture"
 
     opt = optax.adam(2e-3)

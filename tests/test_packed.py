@@ -33,10 +33,11 @@ CFG_D = ModelConfig(T=16, L=8, C=4, D=32, dl=8, num_smi_layers=2,
 CFG_P = dataclasses.replace(CFG_D, packed=True)
 
 
-def _batch(B=4, seed=0, n_videos=4):
+def _batch(B=4, seed=0, n_videos=4, packed_labels=False):
     ds = SyntheticDataset(num_videos=n_videos, queries_per_video=1, T=CFG_D.T,
                           L=CFG_D.L, max_query_length=CFG_D.max_query_length,
                           input_video_dim=CFG_D.input_video_dim, seed=seed)
+    ds.packed_labels = packed_labels
     b = device_batch(next(iter(BatchLoader(ds, B, num_workers=1, seed=seed).epoch(0))))
     return {k: jnp.asarray(v) for k, v in b.items()}
 
@@ -87,6 +88,9 @@ def test_packed_forward_matches_dense():
                                 "query_mask", "length_mask", "moment_mask"))
     out_d = smin_forward(params, CFG_D, *args)
     out_p = smin_forward(params, CFG_P, *args)
+    # Packed pm is (B, N); densify for comparison (zeros at invalid pairs
+    # match the dense path's masking).
+    out_p = (unpack_map(out_p[0], CFG_D.L),) + tuple(out_p[1:])
     for a, c in zip(out_p, out_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5)
 
@@ -94,9 +98,10 @@ def test_packed_forward_matches_dense():
 def test_packed_training_matches_dense():
     opt = optax.adam(1e-3)
     params0 = init_smin_params(jax.random.PRNGKey(1), CFG_D)
-    b = _batch(seed=5)
     results = {}
     for name, cfg in (("dense", CFG_D), ("packed", CFG_P)):
+        # Each layout consumes its own label layout (same underlying data).
+        b = _batch(seed=5, packed_labels=cfg.packed)
         params = jax.tree.map(jnp.array, params0)
         opt_state = opt.init(params)
         step = make_train_step(cfg, opt)

@@ -48,7 +48,10 @@ def test_packed_pallas_kernel_matches_xla_packed(T, L, C, D, B):
     np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_x), rtol=2e-5, atol=2e-5)
 
 
-def test_packed_pallas_grad_matches_xla_packed():
+@pytest.mark.parametrize("ragged", [False, True])
+def test_packed_pallas_grad_matches_xla_packed(ragged):
+    # Exercises the fused Pallas backward (transposed row-block matmul,
+    # dfm/dfb folding, mask handling) against autodiff of the XLA path.
     from video_moment_localization_tpu.ops.proposal import proposal_features_packed
     from video_moment_localization_tpu.ops.proposal_pallas import (
         proposal_features_packed_pallas,
@@ -57,7 +60,11 @@ def test_packed_pallas_grad_matches_xla_packed():
     T, L, C, D, B = 16, 8, 4, 128, 2
     rng = np.random.default_rng(4)
     f = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
-    lm = jnp.ones((B, L), jnp.float32)
+    length = np.ones((B, L), np.float32)
+    if ragged:
+        length[0, L // 2:] = 0
+        length[1, 3:] = 0
+    lm = jnp.asarray(length)
     N = L * (L + 1) // 2
     g = jnp.asarray(rng.standard_normal((B, N, C, D)).astype(np.float32))
 

@@ -34,6 +34,7 @@ def batch():
     ds = SyntheticDataset(num_videos=8, queries_per_video=1, T=CFG.T, L=CFG.L,
                           max_query_length=CFG.max_query_length,
                           input_video_dim=CFG.input_video_dim, seed=0)
+    ds.packed_labels = CFG.packed
     return device_batch(next(iter(BatchLoader(ds, 8, num_workers=1, seed=0).epoch(0))))
 
 

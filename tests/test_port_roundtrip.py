@@ -72,5 +72,9 @@ def test_reverse_port_loads_into_reference():
     import jax.numpy as jnp
 
     pm, ps, pe, pa = smin_forward(params, CFG, *[jnp.asarray(batch[k]) for k in keys])
+    if CFG.packed:  # packed head emits (B, N); densify for the torch oracle
+        from video_moment_localization_tpu.ops.packing import unpack_map
+
+        pm = unpack_map(pm, CFG.L)
     np.testing.assert_allclose(np.asarray(pm), pm_r.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pa), pa_r.numpy(), rtol=1e-4, atol=1e-5)

@@ -26,12 +26,13 @@ CFG = ModelConfig(
 )
 
 
-def _batches(B=4, seed=0, n_videos=4):
+def _batches(B=4, seed=0, n_videos=4, packed_labels=False):
     ds = SyntheticDataset(
         num_videos=n_videos, queries_per_video=1, T=CFG.T, L=CFG.L,
         max_query_length=CFG.max_query_length, input_video_dim=CFG.input_video_dim,
         seed=seed,
     )
+    ds.packed_labels = packed_labels
     return [device_batch(b) for b in BatchLoader(ds, B, shuffle=False, num_workers=1, seed=seed).epoch(0)]
 
 
@@ -140,7 +141,8 @@ def test_train_step_learns():
     opt_state = optimizer.init(params)
     step = make_train_step(CFG, optimizer)
     eval_step = make_eval_step(CFG)
-    batch = {k: jnp.asarray(v) for k, v in _batches(B=4, n_videos=4)[0].items()}
+    batch = {k: jnp.asarray(v) for k, v in
+             _batches(B=4, n_videos=4, packed_labels=CFG.packed)[0].items()}
 
     loss0 = float(eval_step(params, batch)["loss"])
     for _ in range(40):
@@ -161,7 +163,8 @@ def test_checkpoint_roundtrip(tmp_path):
     opt_state = optimizer.init(params)
     # advance a step so opt_state is nontrivial
     step = make_train_step(CFG, optimizer)
-    batch = {k: jnp.asarray(v) for k, v in _batches(B=4, n_videos=4)[0].items()}
+    batch = {k: jnp.asarray(v) for k, v in
+             _batches(B=4, n_videos=4, packed_labels=CFG.packed)[0].items()}
     params, opt_state, _ = step(params, opt_state, batch)
 
     path = str(tmp_path / "exp_model.ckpt")

@@ -69,6 +69,12 @@ class ModelConfig:
     # Experimental fused ContentUnit kernel (ops/content_pallas.py). Off by
     # default: measured slower than XLA's batched GEMMs at Charades scale.
     fused_content: bool = False
+    # Reference-compatibility head: densify pm to (B, L, L) and run dense
+    # loss/metrics with dense labels — bit-reproducing the reference's
+    # top-k-over-tied-zeros eval quirk (PARITY.md #16). Default off: the
+    # packed pipeline never materializes an (B, L, L) map (scores, labels,
+    # loss and metrics all live in the packed (B, N) layout).
+    compat_head: bool = False
 
     def __post_init__(self):
         if self.T % self.L != 0:
@@ -160,6 +166,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         packed=bool(params.get("packed", True)),
         remat_smi=bool(params.get("remat_smi", False)),
         fused_content=bool(params.get("fused_content", False)),
+        compat_head=bool(params.get("compat_head", False)),
     )
     return Config(
         model=model,

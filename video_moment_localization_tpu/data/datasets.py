@@ -57,7 +57,15 @@ TENSOR_KEYS = (
 
 
 class MomentDataset:
-    """Base dataset: annotations + per-sample feature/label assembly."""
+    """Base dataset: annotations + per-sample feature/label assembly.
+
+    ``packed_labels`` (set by the trainer when the model runs the packed
+    layout) emits `sm`/`ym` as packed (N = L(L+1)/2,) vectors and omits the
+    dense `moment_mask` entirely — the device derives pair validity from
+    `length_mask`, and no (L, L) array is ever built host- or device-side.
+    """
+
+    packed_labels: bool = False
 
     def __init__(
         self,
@@ -131,12 +139,21 @@ class MomentDataset:
         video_features = np.zeros((self.T, dv), dtype=np.float32)
         video_features[:nfeats] = fetch(frame_idx)
         # Native C kernels when built (csrc/vml_native.cpp); NumPy otherwise.
-        video_mask, length_mask, moment_mask = native.build_masks(
-            nfeats, self.T, self.L
-        )
-        ious, ym, s_s, ys, s_e, ye, y_a = native.generate_labels(
-            spos, epos, duration, self.L
-        )
+        if self.packed_labels:
+            video_mask, length_mask = native.build_masks_packed(
+                nfeats, self.T, self.L
+            )
+            ious, ym, s_s, ys, s_e, ye, y_a = native.generate_labels_packed(
+                spos, epos, duration, self.L
+            )
+            moment_mask = None
+        else:
+            video_mask, length_mask, moment_mask = native.build_masks(
+                nfeats, self.T, self.L
+            )
+            ious, ym, s_s, ys, s_e, ye, y_a = native.generate_labels(
+                spos, epos, duration, self.L
+            )
 
         return {
             "video_id": vid,
@@ -151,8 +168,9 @@ class MomentDataset:
             "query_features": ann["query_features"],                # (Nq, 300)
             "query_mask": self.embedding.query_mask(ann["token_ids"])[:, None],  # (Nq, 1)
             "length_mask": length_mask,                             # (L,)
-            "moment_mask": moment_mask,                             # (L, L)
-            "sm": ious,                                             # (L, L)
+            # moment_mask (L, L) only in dense-label mode
+            **({} if moment_mask is None else {"moment_mask": moment_mask}),
+            "sm": ious,                                             # (L, L) or packed (N,)
             "ym": ym,
             "ss": s_s,                                              # (L,)
             "ys": ys,

@@ -66,6 +66,14 @@ def snippet_labels(tau_s: float, tau_e: float, duration: float, L: int) -> np.nd
     return np.logical_and(s_times >= tau_s, e_times <= tau_e).astype(np.float32)
 
 
+def pack_triu(arr: np.ndarray) -> np.ndarray:
+    """(L, L) -> (N = L(L+1)/2,) upper-triangular entries in the row-major
+    pair order of ops/packing.py (numpy.triu_indices)."""
+    L = arr.shape[0]
+    i, j = np.triu_indices(L)
+    return np.ascontiguousarray(arr[i, j])
+
+
 def build_masks(nfeats: int, T: int, L: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Masks for a video with `nfeats` valid sampled clips (nfeats <= T).
 

@@ -71,6 +71,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_double, ctypes.c_double, _i32p, _i32p, _i32p,
             ]
             lib.vml_sample_indices.restype = ctypes.c_int32
+            lib.vml_generate_labels_packed.argtypes = (
+                lib.vml_generate_labels.argtypes
+            )
+            lib.vml_build_masks_packed.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _f32p, _f32p,
+            ]
             _lib = lib
         except OSError:
             _lib = None
@@ -108,6 +114,28 @@ def generate_labels(spos: float, epos: float, duration: float, L: int):
     return sm, ym, ss, ys, se, ye, ya
 
 
+def generate_labels_packed(spos: float, epos: float, duration: float, L: int):
+    """Packed-layout labels: sm/ym are (N = L(L+1)/2,) in triu row-major
+    order (ops/packing.py); boundary/snippet labels unchanged."""
+    lib = get_lib()
+    if lib is None:
+        from video_moment_localization_tpu.data import labels as np_labels
+
+        sm = np_labels.pack_triu(np_labels.iou_target_map(spos, epos, duration, L))
+        ss, se = np_labels.boundary_penalties(spos, epos, duration, L)
+        ya = np_labels.snippet_labels(spos, epos, duration, L)
+        return (sm, (sm > 0.5).astype(np.float32), ss,
+                (ss > 0.5).astype(np.float32), se,
+                (se > 0.5).astype(np.float32), ya)
+    N = L * (L + 1) // 2
+    sm = np.empty(N, np.float32)
+    ym = np.empty(N, np.float32)
+    ss, ys, se, ye, ya = (np.empty(L, np.float32) for _ in range(5))
+    lib.vml_generate_labels_packed(spos, epos, duration, L, _fp(sm), _fp(ym),
+                                   _fp(ss), _fp(ys), _fp(se), _fp(ye), _fp(ya))
+    return sm, ym, ss, ys, se, ye, ya
+
+
 def build_masks(nfeats: int, T: int, L: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(video_mask (T,1), length_mask (L,), moment_mask (L,L)) float32."""
     lib = get_lib()
@@ -121,6 +149,21 @@ def build_masks(nfeats: int, T: int, L: int) -> Tuple[np.ndarray, np.ndarray, np
     lib.vml_build_masks(nfeats, T, L, _fp(video_mask), _fp(length_mask),
                         _fp(moment_mask))
     return video_mask[:, None], length_mask, moment_mask
+
+
+def build_masks_packed(nfeats: int, T: int, L: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(video_mask (T,1), length_mask (L,)) — packed mode builds no dense
+    moment mask (device derives pair validity from length_mask)."""
+    lib = get_lib()
+    if lib is None:
+        from video_moment_localization_tpu.data import labels as np_labels
+
+        video_mask, length_mask, _ = np_labels.build_masks(nfeats, T, L)
+        return video_mask, length_mask
+    video_mask = np.empty(T, np.float32)
+    length_mask = np.empty(L, np.float32)
+    lib.vml_build_masks_packed(nfeats, T, L, _fp(video_mask), _fp(length_mask))
+    return video_mask[:, None], length_mask
 
 
 def sample_indices(nfeats: int, T: int, spos: int,

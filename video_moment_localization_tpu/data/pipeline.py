@@ -32,7 +32,8 @@ def collate(samples: List[Dict[str, Any]], batch_size: int) -> Dict[str, Any]:
     """Stack sample dicts into one fixed-shape batch, padding to batch_size."""
     n = len(samples)
     batch: Dict[str, Any] = {}
-    for k in TENSOR_KEYS:
+    # TENSOR_KEYS is the superset; packed-label samples omit moment_mask.
+    for k in (k for k in TENSOR_KEYS if k in samples[0]):
         rows = np.stack([s[k] for s in samples], axis=0)
         if n < batch_size:
             pad = np.zeros((batch_size - n,) + rows.shape[1:], dtype=rows.dtype)

@@ -33,7 +33,10 @@ from video_moment_localization_tpu.data.sampler import sample_fixed_length_featu
 from video_moment_localization_tpu.data.tokenizer import get_tokens
 from video_moment_localization_tpu.models import init_smin_params, smin_forward
 from video_moment_localization_tpu.ops.nms import soft_nms_topk
-from video_moment_localization_tpu.train.metrics import proposal_scores
+from video_moment_localization_tpu.train.metrics import (
+    proposal_scores,
+    proposal_scores_packed,
+)
 from video_moment_localization_tpu.utils.checkpoint import (
     checkpoint_paths,
     restore_checkpoint,
@@ -69,9 +72,13 @@ class MomentLocalizer:
     def _score_impl(cfg: ModelConfig, use_nms: bool, nms_sigma: float,
                     params, vf, vm, qf, qm, lm, mm, k: int):
         pm, ps, pe, _ = smin_forward(params, cfg, vf, vm, qf, qm, lm, mm)
-        score = proposal_scores(pm, ps, pe, mm).reshape(pm.shape[0], -1)
+        packed = pm.ndim == 2
+        if packed:  # (B, N) packed scoring — no dense map on device
+            score = proposal_scores_packed(pm, ps, pe, lm, cfg.L)
+        else:
+            score = proposal_scores(pm, ps, pe, mm).reshape(pm.shape[0], -1)
         if use_nms:
-            return soft_nms_topk(score, cfg.L, k, nms_sigma)
+            return soft_nms_topk(score, cfg.L, k, nms_sigma, packed=packed)
         return jax.lax.top_k(score, k)
 
     # ------------------------------------------------------------------ #
@@ -136,11 +143,19 @@ class MomentLocalizer:
                 stack(4), stack(5), top_k,
             )
             vals, idxs = np.asarray(vals), np.asarray(idxs)
+            packed = cfg.packed and not cfg.compat_head
+            if packed:
+                from video_moment_localization_tpu.ops.packing import triu_packing
+
+                pk = triu_packing(cfg.L)
             for b, (_, _, duration) in enumerate(chunk):
                 moments = []
                 for k in range(top_k):
                     flat = int(idxs[b, k])
-                    i, j = divmod(flat, cfg.L)
+                    if packed:  # packed index -> (start, end) snippet pair
+                        i, j = int(pk.i_idx[flat]), int(pk.j_idx[flat])
+                    else:
+                        i, j = divmod(flat, cfg.L)
                     moments.append(Moment(
                         start=i * duration / cfg.L,
                         end=(j + 1) * duration / cfg.L,

@@ -398,15 +398,20 @@ def localization(p: Params, f_m, f_b, length_mask, moment_mask):
     return p_m, p_s, p_e, p_a
 
 
-def localization_packed(p: Params, f_m, f_b, length_mask, vmask, L: int):
-    """Scoring heads on packed moments; pm is densified at the very end
-    (the eval/loss contract is the dense (B, L, L) map)."""
-    from video_moment_localization_tpu.ops.packing import unpack_map
-
+def localization_packed(p: Params, f_m, f_b, length_mask, vmask, L: int,
+                        dense_out: bool = False):
+    """Scoring heads on packed moments: pm stays in the packed (B, N)
+    layout (loss/metrics consume it directly — train/loss.py,
+    train/metrics.py). ``dense_out=True`` densifies pm to (B, L, L) for the
+    reference-compat eval mode (ModelConfig.compat_head, PARITY.md #16)."""
     f_m32, f_b32 = f_m.astype(jnp.float32), f_b.astype(jnp.float32)
     lm = length_mask.astype(jnp.float32)
-    p_m_packed = jax.nn.sigmoid(_linear(p["pm"], f_m32))[..., 0]  # (B, N)
-    p_m = unpack_map(p_m_packed * vmask.astype(jnp.float32), L)   # (B, L, L)
+    p_m = jax.nn.sigmoid(_linear(p["pm"], f_m32))[..., 0]         # (B, N)
+    p_m = p_m * vmask.astype(jnp.float32)
+    if dense_out:
+        from video_moment_localization_tpu.ops.packing import unpack_map
+
+        p_m = unpack_map(p_m, L)                                  # (B, L, L)
     p_s = jax.nn.sigmoid(_linear(p["ps"], f_b32))[..., 0] * lm
     p_e = jax.nn.sigmoid(_linear(p["pe"], f_b32))[..., 0] * lm
     p_a = jax.nn.sigmoid(_linear(p["pa"], f_b32))[..., 0] * lm
@@ -424,11 +429,13 @@ def smin_forward(
     query_features: jnp.ndarray,   # (B, Nq, word_dim)
     query_mask: jnp.ndarray,       # (B, Nq, 1)
     length_mask: jnp.ndarray,      # (B, L)
-    moment_mask: jnp.ndarray,      # (B, L, L)
+    moment_mask: jnp.ndarray,      # (B, L, L); may be None in packed mode
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Forward pass -> (pm (B,L,L), ps, pe, pa (B,L)), all fp32 in [0, 1].
+    """Forward pass -> (pm, ps, pe, pa), all fp32 in [0, 1].
 
-    Reference: models.py:346-377 (SMIN.forward).
+    pm is (B, N = L(L+1)/2) in the packed layout (cfg.packed and not
+    cfg.compat_head — the default; moment_mask is unused and may be None),
+    (B, L, L) otherwise. Reference: models.py:346-377 (SMIN.forward).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     vf = video_features.astype(dtype)
@@ -459,7 +466,8 @@ def smin_forward(
                                query_mask, length_mask, vmask, cfg.L,
                                fused_content)
         return localization_packed(params["localization"], fm, fb,
-                                   length_mask, vmask, cfg.L)
+                                   length_mask, vmask, cfg.L,
+                                   dense_out=cfg.compat_head)
 
     fc, fm, fb = proposal_features_auto(f, moment_mask, cfg.L, cfg.C, cfg.use_pallas)
     block = smi_block

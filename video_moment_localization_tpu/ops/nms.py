@@ -21,10 +21,15 @@ import numpy as np
 
 
 @lru_cache(maxsize=None)
-def _proposal_spans(L: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Normalized [start, end) spans of the flattened L*L proposal grid."""
-    i = np.repeat(np.arange(L), L).astype(np.float32)       # start snippet
-    j = np.tile(np.arange(L), L).astype(np.float32)         # end snippet
+def _proposal_spans(L: int, packed: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalized [start, end) spans per score column: the flattened L*L
+    grid (dense) or the N = L(L+1)/2 upper-triangular pairs (packed)."""
+    if packed:
+        i, j = np.triu_indices(L)
+        i, j = i.astype(np.float32), j.astype(np.float32)
+    else:
+        i = np.repeat(np.arange(L), L).astype(np.float32)   # start snippet
+        j = np.tile(np.arange(L), L).astype(np.float32)     # end snippet
     return i / L, (j + 1.0) / L
 
 
@@ -36,14 +41,16 @@ def _pairwise_iou_with(starts, ends, s0, e0):
 
 
 def soft_nms_topk(
-    scores: jnp.ndarray, L: int, k: int, sigma: float = 0.5
+    scores: jnp.ndarray, L: int, k: int, sigma: float = 0.5,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Select k proposals per batch row with Gaussian score decay.
 
-    scores: (B, L*L) masked proposal scores. Returns (values (B, k),
-    indices (B, k)) in selection order.
+    scores: (B, L*L) dense-flat or (B, N) packed masked proposal scores.
+    Returns (values (B, k), indices (B, k)) in selection order; indices
+    address the given score columns (packed indices in packed mode).
     """
-    starts_np, ends_np = _proposal_spans(L)
+    starts_np, ends_np = _proposal_spans(L, packed)
     starts, ends = jnp.asarray(starts_np), jnp.asarray(ends_np)
     B, N = scores.shape
 

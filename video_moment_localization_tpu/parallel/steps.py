@@ -23,7 +23,10 @@ import optax
 from video_moment_localization_tpu.config import ModelConfig
 from video_moment_localization_tpu.models import smin_forward
 from video_moment_localization_tpu.train.loss import smin_loss
-from video_moment_localization_tpu.train.metrics import recall_counts
+from video_moment_localization_tpu.train.metrics import (
+    recall_counts,
+    recall_counts_packed,
+)
 
 Batch = Dict[str, jnp.ndarray]
 
@@ -32,7 +35,9 @@ _FORWARD_KEYS = ("video_features", "video_mask", "query_features",
 
 
 def _forward(params, cfg: ModelConfig, batch: Batch):
-    return smin_forward(params, cfg, *(batch[k] for k in _FORWARD_KEYS))
+    # Packed batches carry no dense moment_mask (the packed forward derives
+    # pair validity from length_mask on device).
+    return smin_forward(params, cfg, *(batch.get(k) for k in _FORWARD_KEYS))
 
 
 def _step_metrics(outputs, loss, aux, batch: Batch, use_nms: bool, nms_sigma: float):
@@ -40,10 +45,16 @@ def _step_metrics(outputs, loss, aux, batch: Batch, use_nms: bool, nms_sigma: fl
     the trainer derives valid-sample counts host-side from sample_mask."""
     del aux
     pm, ps, pe, _ = outputs
-    counts = recall_counts(
-        pm, ps, pe, batch["moment_mask"], batch["sm"], batch.get("sample_mask"),
-        use_nms=use_nms, nms_sigma=nms_sigma,
-    )
+    if pm.ndim == 2:  # packed (B, N) scoring — no (B, L, L) materialization
+        counts = recall_counts_packed(
+            pm, ps, pe, batch["length_mask"], batch["sm"],
+            batch.get("sample_mask"), use_nms=use_nms, nms_sigma=nms_sigma,
+        )
+    else:
+        counts = recall_counts(
+            pm, ps, pe, batch["moment_mask"], batch["sm"],
+            batch.get("sample_mask"), use_nms=use_nms, nms_sigma=nms_sigma,
+        )
     return {"loss": loss, "counts": counts}
 
 

@@ -54,8 +54,18 @@ def smin_loss(
     Returns (scalar loss, {"per_sample": (B,), "num_valid": scalar}).
     """
     pm, ps, pe, pa = outputs
+    if pm.ndim == 2:
+        # Packed layout: pm/ym/sm are (B, N); the moment-validity mask is
+        # derived from length_mask (the dense moment_mask never exists).
+        # Identical value to the dense masked mean: both average the same
+        # per-element terms over the same valid-count denominator.
+        from video_moment_localization_tpu.ops.packing import packed_valid_mask
+
+        mask_m = packed_valid_mask(batch["length_mask"].astype(jnp.float32))
+    else:
+        mask_m = batch["moment_mask"]
     per_sample = (
-        scaled_bce(pm, batch["ym"], batch["sm"], batch["moment_mask"])
+        scaled_bce(pm, batch["ym"], batch["sm"], mask_m)
         + scaled_bce(ps, batch["ys"], batch["ss"], batch["length_mask"])
         + scaled_bce(pe, batch["ye"], batch["se"], batch["length_mask"])
         + 0.5 * scaled_bce(pa, batch["ya"], None, batch["length_mask"])

@@ -35,23 +35,32 @@ def proposal_scores(pm, ps, pe, moment_mask) -> jnp.ndarray:
     return score * moment_mask
 
 
-def recall_counts(
-    pm, ps, pe, moment_mask, sm, sample_mask=None,
-    n: Sequence[int] = METRIC_NS,
-    m: Sequence[float] = METRIC_MS,
-    use_nms: bool = False,
-    nms_sigma: float = 0.5,
-) -> jnp.ndarray:
-    """Un-normalized hit counts, shape (len(n), len(m))."""
-    B = pm.shape[0]
-    L = pm.shape[1]
-    score = proposal_scores(pm, ps, pe, moment_mask).reshape(B, -1)
+def proposal_scores_packed(pm, ps, pe, length_mask, L: int) -> jnp.ndarray:
+    """(B, N) packed final moment scores: same math as `proposal_scores`
+    restricted to the valid upper-triangular pairs (static index gathers
+    replace the dense broadcasts)."""
+    from video_moment_localization_tpu.ops.packing import (
+        packed_valid_mask,
+        triu_packing,
+    )
+
+    p = triu_packing(L)
+    s_i = jnp.take(jnp.sqrt(ps), jnp.asarray(p.i_idx), axis=1)   # (B, N)
+    e_j = jnp.take(jnp.sqrt(pe), jnp.asarray(p.j_idx), axis=1)
+    vmask = packed_valid_mask(length_mask.astype(jnp.float32))
+    return pm * s_i * e_j * vmask
+
+
+def _counts_from_topk(score, sm_flat, sample_mask, n, m, L, use_nms,
+                      nms_sigma, packed):
+    """Shared top-k -> gather-GT-IoU -> threshold-count tail."""
+    B = score.shape[0]
     k = max(n)
     if use_nms:
-        _, top_idx = soft_nms_topk(score, L, k, nms_sigma)
+        _, top_idx = soft_nms_topk(score, L, k, nms_sigma, packed=packed)
     else:
         _, top_idx = jax.lax.top_k(score, k)
-    top_ious = jnp.take_along_axis(sm.reshape(B, -1), top_idx, axis=1)  # (B, k)
+    top_ious = jnp.take_along_axis(sm_flat, top_idx, axis=1)            # (B, k)
     if sample_mask is None:
         sample_mask = jnp.ones(B, jnp.float32)
 
@@ -60,6 +69,46 @@ def recall_counts(
         hit_any = [(top_ious[:, :n_] > m_).any(axis=1) for m_ in m]     # len(m) x (B,)
         counts.append(jnp.stack([(h * sample_mask).sum() for h in hit_any]))
     return jnp.stack(counts)                                             # (|n|, |m|)
+
+
+def recall_counts(
+    pm, ps, pe, moment_mask, sm, sample_mask=None,
+    n: Sequence[int] = METRIC_NS,
+    m: Sequence[float] = METRIC_MS,
+    use_nms: bool = False,
+    nms_sigma: float = 0.5,
+) -> jnp.ndarray:
+    """Un-normalized hit counts, shape (len(n), len(m)) — dense layout,
+    reproducing the reference's top-k tie behavior exactly (PARITY.md #16)."""
+    B = pm.shape[0]
+    L = pm.shape[1]
+    score = proposal_scores(pm, ps, pe, moment_mask).reshape(B, -1)
+    return _counts_from_topk(score, sm.reshape(B, -1), sample_mask, n, m, L,
+                             use_nms, nms_sigma, packed=False)
+
+
+def recall_counts_packed(
+    pm, ps, pe, length_mask, sm, sample_mask=None,
+    n: Sequence[int] = METRIC_NS,
+    m: Sequence[float] = METRIC_MS,
+    use_nms: bool = False,
+    nms_sigma: float = 0.5,
+) -> jnp.ndarray:
+    """`recall_counts` over the packed layout: pm/sm are (B, N); the top-k
+    runs over the N valid pairs only and never materializes an (L, L) map.
+
+    Deviation from the reference quirk (PARITY.md #16, deliberate): with
+    fewer than k positive-scoring valid pairs, dense top-k could select
+    masked/lower-triangle zero-score slots whose dense `sm` entries are real
+    IoUs; here ties select among packed slots only. Identical whenever a
+    sample has >= k scored proposals (always, past early training). The
+    compat_head mode keeps the bit-exact reference behavior.
+    """
+    B, N = pm.shape
+    L = ps.shape[1]
+    score = proposal_scores_packed(pm, ps, pe, length_mask, L)
+    return _counts_from_topk(score, sm, sample_mask, n, m, L,
+                             use_nms, nms_sigma, packed=True)
 
 
 def counts_to_dict(counts, n=METRIC_NS, m=METRIC_MS) -> Dict[str, float]:

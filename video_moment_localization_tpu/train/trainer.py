@@ -60,11 +60,17 @@ def build_datasets(cfg: Config, embedding: Optional[WordEmbedding] = None,
     m = cfg.model
     kw = dict(data_dir=cfg.data_dir, T=m.T, L=m.L,
               max_query_length=m.max_query_length, embedding=emb)
+    # Packed models consume packed (N,) sm/ym and no dense moment_mask;
+    # the compat_head eval mode keeps the dense reference-quirk pipeline.
+    packed_labels = m.packed and not m.compat_head
     if test_only:
-        return cls(split="test", **kw)
+        test = cls(split="test", **kw)
+        test.packed_labels = packed_labels
+        return test
     train = cls(split="train", **kw)
     eval_split = "test" if cfg.dataset == "charadessta" else "val"
     evald = cls(split=eval_split, **kw)
+    train.packed_labels = evald.packed_labels = packed_labels
     return train, evald
 
 
