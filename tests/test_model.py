@@ -46,7 +46,8 @@ def test_forward_shapes_and_ranges():
         lambda p, *a: smin_forward(p, CFG, *a)
     )(params, *_forward_args(batch))
     B, L = 4, CFG.L
-    assert pm.shape == (B, L, L)
+    # Default packed head: pm lives on the N = L(L+1)/2 valid pairs.
+    assert pm.shape == (B, L * (L + 1) // 2)
     assert ps.shape == pe.shape == pa.shape == (B, L)
     for x in (pm, ps, pe, pa):
         x = np.asarray(x)
@@ -57,9 +58,12 @@ def test_forward_respects_masks():
     """Scores are exactly zero outside valid moments/snippets."""
     params = init_smin_params(jax.random.PRNGKey(1), CFG)
     batch = _batch(seed=3)
+    from video_moment_localization_tpu.ops.packing import packed_valid_mask
+
     pm, ps, pe, pa = smin_forward(params, CFG, *_forward_args(batch))
-    mm, lm = np.asarray(batch["moment_mask"]), np.asarray(batch["length_mask"])
-    assert np.all(np.asarray(pm)[mm == 0] == 0)
+    lm = np.asarray(batch["length_mask"])
+    vmask = np.asarray(packed_valid_mask(jnp.asarray(lm)))
+    assert np.all(np.asarray(pm)[vmask == 0] == 0)
     for x in (ps, pe, pa):
         assert np.all(np.asarray(x)[lm == 0] == 0)
 
@@ -116,6 +120,10 @@ def test_full_forward_parity_with_reference():
 
     params = jax.tree.map(jnp.asarray, params_from_torch_state_dict(ref.state_dict(), CFG))
     pm, ps, pe, pa = smin_forward(params, CFG, *_forward_args(batch))
+    if CFG.packed:  # densify the packed head for the torch oracle
+        from video_moment_localization_tpu.ops.packing import unpack_map
+
+        pm = unpack_map(pm, CFG.L)
 
     np.testing.assert_allclose(np.asarray(pm), pm_r.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ps), ps_r.numpy(), rtol=1e-4, atol=1e-5)

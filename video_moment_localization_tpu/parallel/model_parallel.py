@@ -180,8 +180,251 @@ def smin_forward_seq_sharded(
 
 
 # --------------------------------------------------------------------- #
+# Packed sequence-parallel forward (default layout under a seq mesh)
+#
+# Pair-chunk sharding: the packed pair axis N is padded to N_pad = n*ceil
+# and split into n equal contiguous chunks (pairs, not map rows — row
+# sharding would be unbalanced: row i carries L-i pairs). Everything
+# pair-parallel (content unit, moment unit, pm head) runs locally on the
+# chunk; the only cross-chunk terms are
+#   * the pooling reduce-scatter (partial clip sums -> own pair chunk),
+#   * one psum of the (B, L, D) moment->boundary row aggregation per SMI
+#     layer (each device row-sums its local pairs, psum completes rows),
+#   * one all_gather of the (B, L/n, D) boundary features after pooling.
+# --------------------------------------------------------------------- #
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _packed_seq_constants(T: int, L: int, C: int, n: int):
+    """Static packed pooling geometry padded to n equal pair chunks.
+
+    Returns (starts, ends, weights) of shape (N_pad*C,) / (N_pad, C), pair
+    index arrays i_idx/j_idx (N_pad,), and (N, N_pad). Padding rows have
+    start=end=0 (zero-length segments -> zero partial sums) and weight 0.
+    """
+    import numpy as np
+
+    from video_moment_localization_tpu.ops.content_matrix import content_segments
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    seg = content_segments(T, L, C)
+    p = triu_packing(L)
+    N = p.N
+    N_pad = ((N + n - 1) // n) * n
+    starts = seg.starts[p.i_idx, p.j_idx]            # (N, C)
+    sizes = seg.sizes[p.i_idx, p.j_idx]
+    weights = seg.weights[p.i_idx, p.j_idx]
+    pad = N_pad - N
+    if pad:
+        starts = np.concatenate([starts, np.zeros((pad, C), starts.dtype)])
+        sizes = np.concatenate([sizes, np.zeros((pad, C), sizes.dtype)])
+        weights = np.concatenate([weights, np.zeros((pad, C), weights.dtype)])
+    i_idx = np.concatenate([p.i_idx, np.zeros(pad, p.i_idx.dtype)])
+    j_idx = np.concatenate([p.j_idx, np.zeros(pad, p.j_idx.dtype)])
+    return (starts.reshape(-1), (starts + sizes).reshape(-1), weights,
+            i_idx, j_idx, N, N_pad)
+
+
+def _local_pool_packed(f_loc, vmask_loc, starts, ends, weights_loc,
+                       *, L: int, C: int, n: int, N_pad: int):
+    """Per-device packed pooling. f_loc (B, T/n, D); vmask_loc (B, N_pad/n).
+
+    Each device forms partial prefix-sum differences for ALL pair-clips
+    (shard-clipped bounds), then one psum_scatter both reduces across
+    shards and leaves this device its contiguous pair chunk.
+    """
+    B, T_loc, D = f_loc.shape
+    k = jax.lax.axis_index(SEQ_AXIS)
+    off = k * T_loc
+
+    P_loc = jnp.cumsum(f_loc.astype(jnp.float32), axis=1)
+    P_loc = jnp.concatenate([jnp.zeros((B, 1, D), jnp.float32), P_loc], axis=1)
+    cs = jnp.clip(starts - off, 0, T_loc)            # (N_pad*C,)
+    ce = jnp.clip(ends - off, 0, T_loc)
+    part = jnp.take(P_loc, ce, axis=1) - jnp.take(P_loc, cs, axis=1)
+
+    part = part.reshape(B, n, (N_pad // n) * C * D)
+    chunk = jax.lax.psum_scatter(part, SEQ_AXIS, scatter_dimension=1,
+                                 tiled=True)
+    chunk = chunk.reshape(B, N_pad // n, C, D)       # local pair-clip sums
+
+    fc = chunk * weights_loc[None, ..., None]        # segment means
+    fc = fc * vmask_loc[..., None, None]
+    fm = jnp.mean(fc, axis=2)
+
+    fb = jnp.mean(f_loc.reshape(B, L // n, T_loc // (L // n), D), axis=2)
+    return fc.astype(f_loc.dtype), fm.astype(f_loc.dtype), fb.astype(f_loc.dtype)
+
+
+def _boundary_unit_packed_chunk(p: Params, f_b, f_w, f_s, f_m_loc, query_mask,
+                                length_mask, flat_idx_loc, i_idx_loc, L: int):
+    """boundary_unit_packed with the moment message from a local pair chunk.
+
+    f_bm[i] = sum over pairs with start row i of A_b[pair] * (g*f_m)[pair]:
+    each device row-sums its local pairs (one-hot matmul against the local
+    start rows), a psum over the seq axis completes every row.
+    """
+    D = f_b.shape[-1]
+    dtype = f_b.dtype
+    f_b_mask = length_mask[..., None].astype(dtype)
+
+    f_baq = word_attention(p, f_b, f_w, f_w, query_mask) * f_b_mask
+    f_bq = f_b * (f_baq + f_s[:, None, :])
+    logits = jnp.einsum("bid,bjd->bij", f_bq, f_bq) / math.sqrt(D)
+    key_m = length_mask[:, None, :].astype(dtype)
+    logits = jnp.where(key_m > 0, logits, _NEG_INF)
+    A_b = jax.nn.softmax(logits, axis=-1) * f_b_mask            # (B, L, L)
+
+    f_bb = jnp.einsum("bij,bjd->bid", A_b, f_b) * f_b_mask
+
+    B = A_b.shape[0]
+    A_b_loc = jnp.take(A_b.reshape(B, L * L), flat_idx_loc, axis=1)  # (B, Nl)
+    g_m = jax.nn.sigmoid(f_m_loc * f_s[:, None, :])
+    msg = A_b_loc[..., None] * (g_m * f_m_loc)                  # (B, Nl, D)
+    row_onehot = jax.nn.one_hot(i_idx_loc, L, dtype=msg.dtype)  # (Nl, L)
+    f_bm_part = jnp.einsum("nl,bnd->bld", row_onehot, msg)
+    f_bm = jax.lax.psum(f_bm_part, SEQ_AXIS)
+    return f_bb + f_b + f_bm
+
+
+def _moment_unit_packed_chunk(p: Params, f_c, f_m, f_b, vmask_loc,
+                              i_idx_loc, j_idx_loc):
+    """moment_unit_packed with traced per-chunk pair indices."""
+    dtype = f_m.dtype
+    f_m_mask = vmask_loc[..., None].astype(dtype)
+    outer = (jnp.take(f_b, i_idx_loc, axis=1)
+             * jnp.take(f_b, j_idx_loc, axis=1))                # (B, Nl, D)
+    conv_fb = _linear(p["conv_fb"], outer) * f_m_mask
+    conv_fc = _linear(p["conv_fc"], jnp.mean(f_c, axis=2)) * f_m_mask
+    return conv_fb + conv_fc + f_m
+
+
+def _body_packed(cfg: ModelConfig, n: int, consts,
+                 params, vf_loc, vm_loc, qf, qm, lm):
+    from video_moment_localization_tpu.models.smin import content_unit_packed
+    from video_moment_localization_tpu.ops.packing import packed_valid_mask
+
+    starts, ends, weights, i_idx, j_idx, N, N_pad = consts
+    dtype = jnp.dtype(cfg.compute_dtype)
+    vf_loc = vf_loc.astype(dtype)
+    qf = qf.astype(dtype)
+    L = cfg.L
+    N_loc = N_pad // n
+
+    k = jax.lax.axis_index(SEQ_AXIS)
+    t_loc = vf_loc.shape[1]
+    pe_rows = jax.lax.dynamic_slice_in_dim(
+        params["video_encoder"]["pe"], k * t_loc, t_loc, axis=0)
+    vmask = vm_loc.astype(dtype)
+    fv_loc = (_linear(params["video_encoder"]["ve"], vf_loc)
+              + pe_rows.astype(dtype)[None]) * vmask
+    fs, fw = query_encoder(params["query_encoder"], qf, qm, cfg.lstm_hidden_size)
+    f_loc = fv_loc * fs[:, None, :]
+
+    # Local slices of the static pair geometry / validity.
+    vmask_full = packed_valid_mask(lm.astype(jnp.float32))       # (B, N)
+    vmask_full = jnp.pad(vmask_full, ((0, 0), (0, N_pad - N)))
+    vmask_loc = jax.lax.dynamic_slice_in_dim(
+        vmask_full, k * N_loc, N_loc, axis=1).astype(dtype)
+    w_loc = jax.lax.dynamic_slice_in_dim(weights, k * N_loc, N_loc, axis=0)
+    fi_loc = jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(i_idx) * L + jnp.asarray(j_idx), k * N_loc, N_loc, axis=0)
+    i_loc = jax.lax.dynamic_slice_in_dim(jnp.asarray(i_idx), k * N_loc,
+                                         N_loc, axis=0)
+    j_loc = jax.lax.dynamic_slice_in_dim(jnp.asarray(j_idx), k * N_loc,
+                                         N_loc, axis=0)
+
+    fc, fm, fb_loc = _local_pool_packed(
+        f_loc, vmask_loc, starts, ends, w_loc, L=L, C=cfg.C, n=n, N_pad=N_pad)
+    fb = jax.lax.all_gather(fb_loc, SEQ_AXIS, axis=1, tiled=True)  # (B, L, D)
+
+    for p_layer in params["smi"]:
+        cu = content_unit_packed(p_layer["content"], fc, fw, fs, fm, qm,
+                                 vmask_loc)
+        bu = _boundary_unit_packed_chunk(p_layer["boundary"], fb, fw, fs, fm,
+                                         qm, lm, fi_loc, i_loc, L)
+        mu = _moment_unit_packed_chunk(p_layer["moment"], cu, fm, bu,
+                                       vmask_loc, i_loc, j_loc)
+        fc, fm, fb = cu, mu, bu
+
+    from video_moment_localization_tpu.models.smin import localization_packed
+
+    # Heads on the local chunk; pm comes back pair-sharded (B, N_pad).
+    pm, ps, pe, pa = localization_packed(params["localization"], fm, fb,
+                                         lm, vmask_loc, L, dense_out=False)
+    return pm, ps, pe, pa
+
+
+def smin_forward_seq_sharded_packed(
+    params: Params,
+    cfg: ModelConfig,
+    video_features: jnp.ndarray,   # (B, T, dv) sharded on T
+    video_mask: jnp.ndarray,       # (B, T, 1) sharded on T
+    query_features: jnp.ndarray,   # (B, Nq, word_dim) replicated
+    query_mask: jnp.ndarray,       # (B, Nq, 1) replicated
+    length_mask: jnp.ndarray,      # (B, L) replicated
+    mesh: Mesh,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Packed sequence-parallel forward: clip axis and packed pair chunks
+    sharded over ``seq``. Returns (pm (B, N) — padded tail sliced off,
+    ps/pe/pa replicated), matching the single-device packed contract.
+    """
+    n = mesh.shape[SEQ_AXIS]
+    if cfg.L % n != 0 or cfg.T % n != 0:
+        raise ValueError(f"seq mesh size {n} must divide L ({cfg.L}) and T ({cfg.T})")
+    consts_np = _packed_seq_constants(cfg.T, cfg.L, cfg.C, n)
+    starts, ends, weights, i_idx, j_idx, N, N_pad = consts_np
+    consts = (jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(weights),
+              i_idx, j_idx, N, N_pad)
+
+    d = "data" if "data" in mesh.axis_names else None
+    body = partial(_body_packed, cfg, n, consts)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(),                    # params (replicated pytree)
+            P(d, SEQ_AXIS, None),   # video features
+            P(d, SEQ_AXIS, None),   # video mask
+            P(d, None, None),       # query features
+            P(d, None, None),       # query mask
+            P(d, None),             # length mask
+        ),
+        out_specs=(
+            P(d, SEQ_AXIS),         # pm pair-sharded (B, N_pad)
+            P(d, None),
+            P(d, None),
+            P(d, None),
+        ),
+        check_vma=False,
+    )
+    pm, ps, pe, pa = fn(params, video_features, video_mask,
+                        query_features, query_mask, length_mask)
+    return pm[:, :N], ps, pe, pa
+
+
+# --------------------------------------------------------------------- #
 # 2-D (data x seq) training
 # --------------------------------------------------------------------- #
+def _seq_forward(cfg: ModelConfig, mesh: Mesh, p, batch):
+    """Dispatch the sequence-parallel forward by layout: packed pair-chunk
+    sharding by default, the dense row-sharded path in compat/dense mode."""
+    if cfg.packed and not cfg.compat_head:
+        return smin_forward_seq_sharded_packed(
+            p, cfg,
+            batch["video_features"], batch["video_mask"],
+            batch["query_features"], batch["query_mask"],
+            batch["length_mask"], mesh=mesh,
+        )
+    return smin_forward_seq_sharded(
+        p, cfg,
+        batch["video_features"], batch["video_mask"],
+        batch["query_features"], batch["query_mask"],
+        batch["length_mask"], batch["moment_mask"], mesh=mesh,
+    )
+
+
 def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
     """Fused train step on a 2-D (data, seq) mesh.
 
@@ -199,13 +442,7 @@ def make_train_step_2d(cfg: ModelConfig, optimizer, mesh: Mesh):
 
     def train_step(params, opt_state, batch):
         def loss_fn(p):
-            outputs = smin_forward_seq_sharded(
-                p, cfg,
-                batch["video_features"], batch["video_mask"],
-                batch["query_features"], batch["query_mask"],
-                batch["length_mask"], batch["moment_mask"],
-                mesh=mesh,
-            )
+            outputs = _seq_forward(cfg, mesh, p, batch)
             loss, aux = smin_loss(outputs, batch)
             return loss, (outputs, aux)
 
@@ -226,13 +463,7 @@ def make_eval_step_2d(cfg: ModelConfig, mesh: Mesh, use_nms: bool = False,
     from video_moment_localization_tpu.train.loss import smin_loss
 
     def eval_step(params, batch):
-        outputs = smin_forward_seq_sharded(
-            params, cfg,
-            batch["video_features"], batch["video_mask"],
-            batch["query_features"], batch["query_mask"],
-            batch["length_mask"], batch["moment_mask"],
-            mesh=mesh,
-        )
+        outputs = _seq_forward(cfg, mesh, params, batch)
         loss, aux = smin_loss(outputs, batch)
         return _step_metrics(outputs, loss, aux, batch, use_nms, nms_sigma)
 
@@ -241,11 +472,14 @@ def make_eval_step_2d(cfg: ModelConfig, mesh: Mesh, use_nms: bool = False,
 
 def put_batch_2d(batch, mesh: Mesh):
     """Shard a host batch for the 2-D step: batch axis on ``data``; the
-    clip axis / map rows on ``seq``; per-snippet labels data-sharded only."""
+    clip axis / map rows on ``seq``; per-snippet labels data-sharded only.
+    Packed batches carry (B, N) sm/ym (data-sharded, replicated over seq —
+    tiny next to the feature tensors) and no moment_mask."""
     from jax.sharding import NamedSharding
 
     from video_moment_localization_tpu.parallel.mesh import device_batch
 
+    packed = batch["sm"].ndim == 2
     specs = {
         "video_features": P("data", SEQ_AXIS, None),
         "video_mask": P("data", SEQ_AXIS, None),
@@ -253,8 +487,8 @@ def put_batch_2d(batch, mesh: Mesh):
         "query_mask": P("data", None, None),
         "length_mask": P("data", None),
         "moment_mask": P("data", SEQ_AXIS, None),
-        "sm": P("data", SEQ_AXIS, None),
-        "ym": P("data", SEQ_AXIS, None),
+        "sm": P("data", None) if packed else P("data", SEQ_AXIS, None),
+        "ym": P("data", None) if packed else P("data", SEQ_AXIS, None),
         "ss": P("data", None),
         "ys": P("data", None),
         "se": P("data", None),

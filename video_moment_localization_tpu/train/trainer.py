@@ -155,10 +155,11 @@ class Trainer:
                 f"2-D mesh needs batch_size % {nd} == 0 and "
                 f"T ({m.T}), L ({m.L}) divisible by seq_devices ({self.seq})"
             )
-        if m.packed:
-            # Sequence-parallel units run in the dense row-sharded layout.
+        if m.packed and m.compat_head:
+            # The reference-compat eval quirk needs the dense pipeline;
+            # the packed pair-chunk seq path is the default otherwise.
             self.cfg.model = dataclasses.replace(m, packed=False)
-            print("[trainer] 2-D (data x seq) mesh: switching to the dense "
+            print("[trainer] 2-D (data x seq) mesh + compat_head: dense "
                   "row-sharded layout (packed=False)")
         self.mesh = Mesh(
             np.asarray(jax.devices()[:total]).reshape(nd, self.seq),
