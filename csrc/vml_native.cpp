@@ -137,6 +137,40 @@ void vml_build_masks_packed(int32_t nfeats, int32_t T, int32_t L,
   for (int l = 0; l < L; ++l) length_mask[l] = l < valid ? 1.0f : 0.0f;
 }
 
+// Whole-batch packed label + mask generation: ONE ctypes crossing per
+// batch instead of ~11 per sample (the crossings alone were ~25% of
+// per-sample assembly time — see data/pipeline.py). Inputs are per-sample
+// scalars (B,); outputs are row-major batch arrays:
+//   video_mask (B, T), length_mask (B, L), sm/ym (B, N), ss/ys/se/ye/ya
+//   (B, L) with N = L(L+1)/2. Rows with nfeats[b] < 0 (batch padding) are
+//   zero-filled.
+void vml_assemble_batch_packed(const double* spos, const double* epos,
+                               const double* duration, const int32_t* nfeats,
+                               int32_t B, int32_t T, int32_t L,
+                               float* video_mask, float* length_mask,
+                               float* sm, float* ym, float* ss, float* ys,
+                               float* se, float* ye, float* ya) {
+  const int32_t N = L * (L + 1) / 2;
+  for (int b = 0; b < B; ++b) {
+    float* vm = video_mask + b * T;
+    float* lm = length_mask + b * L;
+    if (nfeats[b] < 0) {  // padded row
+      for (int t = 0; t < T; ++t) vm[t] = 0.0f;
+      for (int l = 0; l < L; ++l) lm[l] = 0.0f;
+      for (int n = 0; n < N; ++n) { sm[b * N + n] = 0.0f; ym[b * N + n] = 0.0f; }
+      for (int l = 0; l < L; ++l) {
+        ss[b * L + l] = ys[b * L + l] = se[b * L + l] = ye[b * L + l] =
+            ya[b * L + l] = 0.0f;
+      }
+      continue;
+    }
+    vml_build_masks_packed(nfeats[b], T, L, vm, lm);
+    vml_generate_labels_packed(spos[b], epos[b], duration[b], L, sm + b * N,
+                               ym + b * N, ss + b * L, ys + b * L, se + b * L,
+                               ye + b * L, ya + b * L);
+  }
+}
+
 // Fixed-length sampler index math (data/sampler.py): frame indices via
 // round-half-to-even over arange(spos, nfeats-0.5, stride), truncated to T;
 // start/end GT indices via the linear scan over consecutive index pairs.

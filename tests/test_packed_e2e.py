@@ -162,6 +162,46 @@ def test_compat_head_returns_dense_pm():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_batched_labelgen_path_matches_per_sample(tmp_path):
+    """BatchLoader's whole-batch native labelgen + preallocated feature
+    buffer produce byte-comparable batches to the per-sample path."""
+    from video_moment_localization_tpu.data import native
+    from video_moment_localization_tpu.data.datasets import CharadesSTA
+    from video_moment_localization_tpu.data.glove import WordEmbedding
+    from video_moment_localization_tpu.data.synthetic import write_charades_style_dir
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root = write_charades_style_dir(str(tmp_path / "d"), num_videos=6,
+                                    queries_per_video=3)
+    emb = WordEmbedding.load(root + "/glove/glove.6B.300d.txt")
+    ds = CharadesSTA(root, T=16, L=8, max_query_length=6, split="train",
+                     embedding=emb)
+    ds.packed_labels = True
+
+    def epoch_batches():
+        # two epochs: epoch 0 learns the feature width, epoch 1 uses the
+        # preallocated-buffer path
+        loader = BatchLoader(ds, 8, shuffle=True, num_workers=2, seed=5)
+        list(loader.epoch(0))
+        return list(loader.epoch(1))
+
+    fast = epoch_batches()
+    orig = native.available
+    native.available = lambda: False  # force the per-sample fallback
+    try:
+        slow = epoch_batches()
+    finally:
+        native.available = orig
+    assert len(fast) == len(slow) and len(fast) > 1  # incl. a padded batch
+    for bf, bs in zip(fast, slow):
+        assert set(bf) == set(bs)
+        for k in bs:
+            if isinstance(bs[k], np.ndarray):
+                np.testing.assert_allclose(bf[k], bs[k], rtol=1e-6,
+                                           atol=1e-6, err_msg=k)
+
+
 def test_trainer_sets_packed_labels(tmp_path):
     from video_moment_localization_tpu.config import config_from_dict
     from video_moment_localization_tpu.data.synthetic import write_charades_style_dir

@@ -118,11 +118,19 @@ class MomentDataset:
         return feat.shape[0], feat.shape[1], lambda idx: feat[idx]
 
     # ------------------------------------------------------------------ #
-    def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
-        """Assemble one training/eval sample as a dict of float32 arrays.
+    def sample_core(self, index: int, rng: Optional[np.random.Generator] = None,
+                    out: Optional[np.ndarray] = None) -> Dict[str, Any]:
+        """Feature/query part of a sample (no labels or masks).
 
-        Mirrors the reference __getitem__ (dataset.py:129-187) but without
-        the leading singleton batch dim (batching stacks along a new axis).
+        The batched-labelgen pipeline path (data/pipeline.py) assembles all
+        label arrays for a whole batch in one native call; this returns
+        everything else plus the scalars that call needs (spos/epos/
+        duration/nfeats).
+
+        ``out``: optional zeroed (T, dv) row of a preallocated batch array —
+        features are written in place (skipping the per-sample allocation
+        AND the collate stack copy) and the returned dict omits
+        ``video_features``.
         """
         ann = self.annotations[index]
         vid = ann["video_id"]
@@ -136,8 +144,39 @@ class MomentDataset:
             nfeats_raw, self.T, spos_n, epos_n,
             train=(self.split == "train"), rng=rng,
         )
-        video_features = np.zeros((self.T, dv), dtype=np.float32)
-        video_features[:nfeats] = fetch(frame_idx)
+        if out is not None:
+            out[:nfeats] = fetch(frame_idx)
+            vf_entry = {}
+        else:
+            video_features = np.zeros((self.T, dv), dtype=np.float32)
+            video_features[:nfeats] = fetch(frame_idx)
+            vf_entry = {"video_features": video_features}           # (T, dv)
+        return {
+            "video_id": vid,
+            "times": ann["times"],
+            "duration": duration,
+            "start_index": start_index,
+            "end_index": end_index,
+            **vf_entry,
+            "start_pos": np.float32(spos_n),
+            "end_pos": np.float32(epos_n),
+            "query_features": ann["query_features"],                # (Nq, 300)
+            "query_mask": self.embedding.query_mask(ann["token_ids"])[:, None],
+            "_spos": spos,
+            "_epos": epos,
+            "_nfeats": nfeats,
+        }
+
+    def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
+        """Assemble one training/eval sample as a dict of float32 arrays.
+
+        Mirrors the reference __getitem__ (dataset.py:129-187) but without
+        the leading singleton batch dim (batching stacks along a new axis).
+        """
+        core = self.sample_core(index, rng)
+        spos, epos = core.pop("_spos"), core.pop("_epos")
+        nfeats = core.pop("_nfeats")
+        duration = core["duration"]
         # Native C kernels when built (csrc/vml_native.cpp); NumPy otherwise.
         if self.packed_labels:
             video_mask, length_mask = native.build_masks_packed(
@@ -155,18 +194,8 @@ class MomentDataset:
                 spos, epos, duration, self.L
             )
 
-        return {
-            "video_id": vid,
-            "times": ann["times"],
-            "duration": duration,
-            "start_index": start_index,
-            "end_index": end_index,
-            "video_features": video_features,                       # (T, dv)
+        core.update({
             "video_mask": video_mask,                               # (T, 1)
-            "start_pos": np.float32(spos_n),
-            "end_pos": np.float32(epos_n),
-            "query_features": ann["query_features"],                # (Nq, 300)
-            "query_mask": self.embedding.query_mask(ann["token_ids"])[:, None],  # (Nq, 1)
             "length_mask": length_mask,                             # (L,)
             # moment_mask (L, L) only in dense-label mode
             **({} if moment_mask is None else {"moment_mask": moment_mask}),
@@ -177,7 +206,8 @@ class MomentDataset:
             "se": s_e,
             "ye": ye,
             "ya": y_a,
-        }
+        })
+        return core
 
     # JSON-schema annotation loader shared by ActivityNet/TACoS.
     def _load_json_annotations(self, ann_path: str, frame_times: bool) -> List[Dict[str, Any]]:
@@ -253,7 +283,13 @@ class CharadesSTA(MomentDataset):
     def _load_video_features(self, vid: str) -> np.ndarray:
         return np.load(self.feature_path.format(vid)).squeeze()
 
-    _MMAP_CACHE_SIZE = 128  # open-file cap per worker thread
+    # Open-mmap cap per worker thread. np.load(mmap) costs ~0.6 ms (header
+    # parse + open); real Charades train touches ~5.3k videos per epoch in
+    # shuffled order, so an undersized cache thrashes (measured: a 128-entry
+    # cache re-opened 1,071 times over a 250-video epoch, 32% of loader
+    # time). Descriptor budget: ulimit -n is 20k here; override via
+    # VML_MMAP_CACHE for constrained hosts.
+    _MMAP_CACHE_SIZE = int(os.environ.get("VML_MMAP_CACHE", 4096))
 
     def _video_source(self, vid: str):
         # mmap: only the <= T sampled rows are paged in from disk. Handles

@@ -77,6 +77,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.vml_build_masks_packed.argtypes = [
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _f32p, _f32p,
             ]
+            _f64p = ctypes.POINTER(ctypes.c_double)
+            lib.vml_assemble_batch_packed.argtypes = [
+                _f64p, _f64p, _f64p, _i32p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ] + [_f32p] * 9
             _lib = lib
         except OSError:
             _lib = None
@@ -164,6 +169,45 @@ def build_masks_packed(nfeats: int, T: int, L: int) -> Tuple[np.ndarray, np.ndar
     length_mask = np.empty(L, np.float32)
     lib.vml_build_masks_packed(nfeats, T, L, _fp(video_mask), _fp(length_mask))
     return video_mask[:, None], length_mask
+
+
+def assemble_batch_packed(spos, epos, duration, nfeats, T: int, L: int):
+    """Whole-batch packed masks + labels in ONE native call.
+
+    spos/epos/duration: float arrays (B,); nfeats: int array (B,), -1 for
+    padded rows (zero-filled outputs). Returns a dict of batch arrays
+    {video_mask (B,T,1), length_mask, sm, ym, ss, ys, se, ye, ya}, or None
+    when the native library is unavailable (caller falls back to the
+    per-sample path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(nfeats)
+    N = L * (L + 1) // 2
+    spos = np.ascontiguousarray(spos, np.float64)
+    epos = np.ascontiguousarray(epos, np.float64)
+    duration = np.ascontiguousarray(duration, np.float64)
+    nfeats = np.ascontiguousarray(nfeats, np.int32)
+    out = {
+        "video_mask": np.empty((B, T), np.float32),
+        "length_mask": np.empty((B, L), np.float32),
+        "sm": np.empty((B, N), np.float32),
+        "ym": np.empty((B, N), np.float32),
+    }
+    for k in ("ss", "ys", "se", "ye", "ya"):
+        out[k] = np.empty((B, L), np.float32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.vml_assemble_batch_packed(
+        spos.ctypes.data_as(f64p), epos.ctypes.data_as(f64p),
+        duration.ctypes.data_as(f64p), nfeats.ctypes.data_as(_i32p),
+        B, T, L,
+        _fp(out["video_mask"]), _fp(out["length_mask"]),
+        _fp(out["sm"]), _fp(out["ym"]), _fp(out["ss"]), _fp(out["ys"]),
+        _fp(out["se"]), _fp(out["ye"]), _fp(out["ya"]),
+    )
+    out["video_mask"] = out["video_mask"][..., None]
+    return out
 
 
 def sample_indices(nfeats: int, T: int, spos: int,

@@ -65,6 +65,7 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self._dv: int | None = None  # feature width, learned from batch 1
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -88,9 +89,43 @@ class BatchLoader:
             self._stream(epoch, 1).shuffle(order)
         return order
 
+    def _assemble_batch(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Collate + whole-batch native labelgen (packed mode).
+
+        Workers produced label-free ``sample_core`` dicts; ONE native call
+        (csrc/vml_native.cpp::vml_assemble_batch_packed) fills every mask/
+        label array for the batch — the per-sample path paid ~11 ctypes
+        crossings per sample, ~25% of assembly time at Charades dims.
+        """
+        from video_moment_localization_tpu.data import native
+
+        n = len(samples)
+        pad = self.batch_size - n
+        batch = collate(samples, self.batch_size)
+        labels = native.assemble_batch_packed(
+            np.asarray([s.pop("_spos") for s in samples] + [0.0] * pad),
+            np.asarray([s.pop("_epos") for s in samples] + [1.0] * pad),
+            np.asarray([s["duration"] for s in samples] + [1.0] * pad),
+            np.asarray([s.pop("_nfeats") for s in samples] + [-1] * pad,
+                       dtype=np.int32),
+            self.dataset.T, self.dataset.L,
+        )
+        batch.update(labels)
+        return batch
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         """Iterate batches for one epoch, prefetching in the background."""
+        from video_moment_localization_tpu.data import native
+
+        # Batched-labelgen fast path: packed labels + native library built.
+        batched_labels = (getattr(self.dataset, "packed_labels", False)
+                          and native.available())
+        sample_fn = (self.dataset.sample_core if batched_labels
+                     else self.dataset.sample)
+        make_batch = (self._assemble_batch if batched_labels
+                      else (lambda s: collate(s, self.batch_size)))
         order = self._order(epoch)
+        T = self.dataset.T
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -114,14 +149,38 @@ class BatchLoader:
                         if stop.is_set():
                             return
                         idxs = order[start : start + self.batch_size]
-                        futures = [
-                            pool.submit(
-                                self.dataset.sample, int(i), self._sample_rng(epoch, int(i))
-                            )
-                            for i in idxs
-                        ]
-                        samples = [f.result() for f in futures]
-                        if not put_checked(collate(samples, self.batch_size)):
+                        # Preallocated feature buffer (batched path, feature
+                        # width known after the first batch): workers write
+                        # rows in place — no per-sample buffer + stack copy.
+                        vf = None
+                        if batched_labels and self._dv is not None:
+                            vf = np.zeros((self.batch_size, T, self._dv),
+                                          np.float32)
+                        # One future per worker, not per sample: future
+                        # submit/result overhead (~50 us each under the GIL)
+                        # adds up at per-sample granularity.
+                        splits = [c for c in np.array_split(
+                            np.arange(len(idxs)), self.num_workers) if len(c)]
+
+                        def run_chunk(rows):
+                            out = []
+                            for r in rows:
+                                rng = self._sample_rng(epoch, int(idxs[r]))
+                                if vf is None:
+                                    out.append(sample_fn(int(idxs[r]), rng))
+                                else:
+                                    out.append(sample_fn(int(idxs[r]), rng,
+                                                         out=vf[r]))
+                            return out
+
+                        futures = [pool.submit(run_chunk, c) for c in splits]
+                        samples = [s for f in futures for s in f.result()]
+                        batch = make_batch(samples)
+                        if vf is not None:
+                            batch["video_features"] = vf
+                        elif batched_labels:
+                            self._dv = batch["video_features"].shape[-1]
+                        if not put_checked(batch):
                             return
                 put_checked(None)
             except BaseException as exc:  # surface worker errors to consumer
