@@ -39,9 +39,9 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
-B_SERVE = 4096
-B_TRAIN = 128
-K_CHAIN = 8     # scan iterations inside one jit
+B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 4096))
+B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 128))
+K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 WALL_ITERS = 8
 
 # Peak matmul throughput for MFU context. TPU v5e: ~197 TFLOP/s bf16.

@@ -58,10 +58,17 @@ def main():
             rng.standard_normal((B, cfg.max_query_length, 300)).astype(np.float32)),
         "query_mask": jnp.ones((B, cfg.max_query_length, 1), jnp.float32),
         "length_mask": jnp.ones((B, L), jnp.float32),
-        "moment_mask": jnp.asarray(
-            np.triu(np.ones((L, L), np.float32))[None].repeat(B, 0)),
-        "sm": jnp.asarray(rng.uniform(0, 1, (B, L, L)).astype(np.float32)),
-        "ym": jnp.zeros((B, L, L), jnp.float32),
+        # packed (N,) labels in the default layout; dense otherwise
+        **({
+            "sm": jnp.asarray(rng.uniform(
+                0, 1, (B, L * (L + 1) // 2)).astype(np.float32)),
+            "ym": jnp.zeros((B, L * (L + 1) // 2), jnp.float32),
+        } if cfg.packed else {
+            "moment_mask": jnp.asarray(
+                np.triu(np.ones((L, L), np.float32))[None].repeat(B, 0)),
+            "sm": jnp.asarray(rng.uniform(0, 1, (B, L, L)).astype(np.float32)),
+            "ym": jnp.zeros((B, L, L), jnp.float32),
+        }),
         "ss": jnp.asarray(rng.uniform(0, 1, (B, L)).astype(np.float32)),
         "ys": jnp.zeros((B, L), jnp.float32),
         "se": jnp.asarray(rng.uniform(0, 1, (B, L)).astype(np.float32)),

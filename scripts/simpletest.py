@@ -85,6 +85,10 @@ def main():
     pm, ps, pe, pa = jax.jit(lambda p, *x: smin_forward(p, cfg, *x))(
         params, *[a[k] for k in ("video_features", "video_mask", "query_features",
                                  "query_mask", "length_mask", "moment_mask")])
+    if cfg.packed:  # default packed head: densify for the inspection below
+        from video_moment_localization_tpu.ops.packing import unpack_map
+
+        pm = unpack_map(pm, cfg.L)
     mm = np.asarray(a["moment_mask"]) > 0
     lm = np.asarray(a["length_mask"]) > 0
     mean_pm = float(np.asarray(pm)[mm].mean())
