@@ -5,7 +5,7 @@ Measures the flagship Charades-STA-scale SMIN (T=64, L=16, C=4, D=512,
 
 * **serving** (primary metric): forward + packed proposal scores
   pm*sqrt(ps)*sqrt(pe) + top-k — the work the reference does per eval batch
-  (reference models.py forward + utils.py:10-31) — at serving batch B=4096.
+  (reference models.py forward + utils.py:10-31) — at serving batch B=6144.
   Two timings are reported:
   - ``value``/on-chip: K scored batches chained *inside one jit* via
     lax.scan (each iteration's input depends on the previous counts, so
@@ -13,7 +13,7 @@ Measures the flagship Charades-STA-scale SMIN (T=64, L=16, C=4, D=512,
   - ``wall_pairs_per_sec``: one call per batch with a host fetch each
     iteration — includes the remote-transport round trip, i.e. what a
     single synchronous client would observe.
-* **training**: the fused train step (fwd+bwd+Adam+metrics) at B=128,
+* **training**: the fused train step (fwd+bwd+Adam+metrics) at B=256,
   K steps chained in one jit through the params/opt-state carry.
 * **MFU**: measured matmul-FLOP rate (utils/flops.py, analytic) over the
   chip's peak — the roofline context VERDICT r1 asked for.
@@ -39,8 +39,10 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
-B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 4096))
-B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 128))
+# Serving batch 6144 fills HBM to ~80% (8192 OOMs at 17.3/15.75 GB) and
+# gains ~6% over 4096; train batch 256 gains ~15% over 128.
+B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
+B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 256))
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 WALL_ITERS = 8
 
@@ -178,10 +180,10 @@ def main() -> None:
         "train_mfu_pct": round(100 * train_mfu, 2) if on_tpu else None,
         "serving_batch": B_SERVE,
         "train_batch": B_TRAIN,
-        "note": ("on-chip value from a K=8 in-jit chained scan (no transport); "
-                 "wall_pairs_per_sec includes per-call transport RTT; baseline "
-                 "torch-CPU uses batch 64 (compute-bound, batch-insensitive) "
-                 "vs serving batch 4096 here; MFU vs "
+        "note": (f"on-chip value from a K={K_CHAIN} in-jit chained scan (no "
+                 "transport); wall_pairs_per_sec includes per-call transport "
+                 "RTT; baseline torch-CPU uses batch 64 (compute-bound, "
+                 f"batch-insensitive) vs serving batch {B_SERVE} here; MFU vs "
                  f"{PEAK_FLOPS / 1e12:.0f} TFLOP/s peak (bf16)"),
     }))
 
