@@ -110,6 +110,64 @@ def test_localize_with_soft_nms(trained):
     assert inter / hull < 0.99
 
 
+def test_batch_buckets(trained):
+    """Tail chunks pad to the nearest power-of-two bucket, and results are
+    identical to the full-serve-batch padding."""
+    root, cfg_path, glove = trained
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    old = os.getcwd()
+    os.chdir(str(root))
+    try:
+        loc = MomentLocalizer.from_checkpoint(cfg_path, glove_path=glove,
+                                              serve_batch=8)
+    finally:
+        os.chdir(old)
+    assert loc.bucket_sizes == [1, 2, 4, 8]
+    assert loc._bucket_for(1) == 1 and loc._bucket_for(3) == 4
+    assert loc._bucket_for(5) == 8 and loc._bucket_for(8) == 8
+
+    rng = np.random.default_rng(2)
+    reqs = [(rng.standard_normal((int(n), 32)).astype(np.float32),
+             "person opens a door", float(n)) for n in (12, 25, 31)]
+    out3 = loc.localize_batch(reqs, top_k=2)          # bucket 4
+    out1 = [loc.localize_batch(reqs[i:i + 1], top_k=2)[0]  # bucket 1
+            for i in range(3)]
+    for a, b in zip(out3, out1):
+        assert [(m.start, m.end) for m in a] == [(m.start, m.end) for m in b]
+
+
+def test_async_localizer(trained):
+    root, cfg_path, glove = trained
+    from video_moment_localization_tpu.inference import (
+        AsyncLocalizer,
+        MomentLocalizer,
+    )
+
+    old = os.getcwd()
+    os.chdir(str(root))
+    try:
+        loc = MomentLocalizer.from_checkpoint(cfg_path, glove_path=glove,
+                                              serve_batch=4)
+    finally:
+        os.chdir(old)
+
+    rng = np.random.default_rng(3)
+    reqs = [(rng.standard_normal((int(n), 32)).astype(np.float32),
+             "person sits down", float(n)) for n in (10, 20, 33, 17, 26)]
+    sync = loc.localize_batch(reqs, top_k=3)
+
+    with AsyncLocalizer(loc, top_k=3, max_wait_ms=20.0) as server:
+        futures = [server.submit(*r) for r in reqs]
+        results = [f.result(timeout=120) for f in futures]
+    for a, b in zip(results, sync):
+        assert [(m.start, m.end) for m in a] == [(m.start, m.end) for m in b]
+
+    # closed server rejects new work
+    with pytest.raises(RuntimeError, match="closed"):
+        server.submit(*reqs[0])
+
+
 def test_missing_checkpoint_raises(trained, tmp_path):
     root, cfg_path, glove = trained
     from video_moment_localization_tpu.inference import MomentLocalizer

@@ -10,15 +10,26 @@ module packages the full inference path behind one object:
     # -> [Moment(start=12.1, end=18.4, score=0.83), ...]
 
 Host side: fixed-length eval sampling + GloVe query encoding (identical to
-the training pipeline). Device side: one jit-compiled executable computing
-the forward pass, final proposal scores, and top-k (optionally soft-NMS)
-selection. Requests are batched up to a fixed serving batch and padded, so
-any request count reuses the same compiled program.
+the training pipeline). Device side: jit-compiled executables computing the
+forward pass, final proposal scores, and top-k (optionally soft-NMS)
+selection. Requests are padded to a small power-of-two ladder of batch
+buckets (1, 2, 4, ..., serve_batch), so a tail of 3 requests runs the
+4-wide executable instead of the full serving batch; each bucket compiles
+lazily on first use and is cached by jit thereafter.
+
+For production-style serving, `AsyncLocalizer` wraps a localizer with a
+dynamic micro-batching queue: `submit()` returns a future immediately, a
+background worker coalesces whatever requests arrive within
+``max_wait_ms`` (up to ``serve_batch``) into one device call.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -66,6 +77,22 @@ class MomentLocalizer:
             partial(self._score_impl, model_cfg, use_nms, nms_sigma),
             static_argnums=(7,),  # top_k is a static shape parameter
         )
+        # Power-of-two batch buckets up to serve_batch: jit caches one
+        # executable per distinct input batch shape, so padding to the
+        # nearest bucket (instead of always serve_batch) trades a few lazy
+        # compiles for ~2x less wasted tail compute on average.
+        self.bucket_sizes: List[int] = []
+        b = 1
+        while b < serve_batch:
+            self.bucket_sizes.append(b)
+            b *= 2
+        self.bucket_sizes.append(serve_batch)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.bucket_sizes:
+            if b >= n:
+                return b
+        return self.serve_batch
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -128,7 +155,7 @@ class MomentLocalizer:
             chunk = requests[chunk_start : chunk_start + self.serve_batch]
             rows = [self._prepare(f, q) for f, q, _ in chunk]
             n = len(rows)
-            pad = self.serve_batch - n
+            pad = self._bucket_for(n) - n
 
             def stack(i):
                 arr = np.stack([r[i] for r in rows])
@@ -168,3 +195,93 @@ class MomentLocalizer:
                  top_k: int = 5) -> List[Moment]:
         """Single-request convenience wrapper."""
         return self.localize_batch([(clip_features, query, duration)], top_k)[0]
+
+
+@dataclasses.dataclass
+class _Pending:
+    request: Tuple[np.ndarray, str, float]
+    future: "Future[List[Moment]]"
+
+
+class AsyncLocalizer:
+    """Dynamic micro-batching front-end for a MomentLocalizer.
+
+    `submit()` enqueues one request and returns a Future. A single worker
+    thread drains the queue: the first request of a batch waits at most
+    ``max_wait_ms`` for co-travellers, then the whole group (up to the
+    localizer's serve_batch) is scored in one device call, landing in the
+    smallest compiled batch bucket that fits. Throughput under load
+    approaches the big-batch number while a lone request pays only the
+    wait window. ``top_k`` is fixed per server (it is a static shape in
+    the compiled executable).
+
+    Use as a context manager, or call `close()` to drain and stop.
+    """
+
+    def __init__(self, localizer: MomentLocalizer, top_k: int = 5,
+                 max_wait_ms: float = 2.0):
+        self.localizer = localizer
+        self.top_k = top_k
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ #
+    def submit(self, clip_features: np.ndarray, query: str,
+               duration: float) -> "Future[List[Moment]]":
+        if self._closed:
+            raise RuntimeError("AsyncLocalizer is closed")
+        p = _Pending((clip_features, query, duration), Future())
+        self._queue.put(p)
+        return p.future
+
+    def localize(self, clip_features: np.ndarray, query: str,
+                 duration: float) -> List[Moment]:
+        """Synchronous convenience wrapper around submit()."""
+        return self.submit(clip_features, query, duration).result()
+
+    def close(self) -> None:
+        """Drain outstanding requests and stop the worker."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._worker.join()
+
+    def __enter__(self) -> "AsyncLocalizer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------ #
+    def _run(self) -> None:
+        done = False
+        while not done:
+            head = self._queue.get()
+            if head is None:
+                return
+            group = [head]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(group) < self.localizer.serve_batch:
+                timeout = deadline - time.monotonic()
+                try:
+                    nxt = (self._queue.get_nowait() if timeout <= 0
+                           else self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    done = True
+                    break
+                group.append(nxt)
+            try:
+                results = self.localizer.localize_batch(
+                    [p.request for p in group], self.top_k
+                )
+                for p, r in zip(group, results):
+                    p.future.set_result(r)
+            except Exception as e:  # surface device errors to every caller
+                for p in group:
+                    if not p.future.done():
+                        p.future.set_exception(e)
