@@ -58,11 +58,26 @@ def get_parameters() -> argparse.Namespace:
                         help="Reference-compat eval: dense (L, L) score map "
                              "and labels, bit-reproducing the reference's "
                              "top-k tie quirk (PARITY.md #16).")
+    parser.add_argument("--distributed", default=False, action="store_true",
+                        help="Multi-host training: jax.distributed.initialize "
+                             "(coordinator from JAX_COORDINATOR_ADDRESS / "
+                             "auto-detected on Cloud TPU); each process loads "
+                             "its shard of every global batch.")
     return parser.parse_args()
 
 
 def main() -> None:
     args = get_parameters()
+    shard_id, num_shards = 0, 1
+    if args.distributed:
+        import jax
+
+        from video_moment_localization_tpu.parallel.mesh import (
+            initialize_distributed,
+        )
+
+        if initialize_distributed():
+            shard_id, num_shards = jax.process_index(), jax.process_count()
     cfg = load_config(args.config_path, num_epochs_override=args.num_epochs)
     # Flags only override when explicitly provided (YAML values otherwise).
     if args.nms:
@@ -86,17 +101,21 @@ def main() -> None:
 
     trainer = Trainer(cfg)
 
+    shard = dict(shard_id=shard_id, num_shards=num_shards)
     if not args.test:
         train_ds, eval_ds = build_datasets(cfg)
         train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                                   num_workers=cfg.num_workers, seed=cfg.seed)
+                                   num_workers=cfg.num_workers, seed=cfg.seed,
+                                   **shard)
         eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False,
-                                  num_workers=cfg.num_workers, seed=cfg.seed)
+                                  num_workers=cfg.num_workers, seed=cfg.seed,
+                                  **shard)
         trainer.fit(train_loader, eval_loader)
     else:
         test_ds = build_datasets(cfg, test_only=True)
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False,
-                                  num_workers=cfg.num_workers, seed=cfg.seed)
+                                  num_workers=cfg.num_workers, seed=cfg.seed,
+                                  **shard)
         trainer.load_for_test(use_best=args.best)
         metrics = trainer.evaluate(test_loader)
         for k, v in metrics.items():

@@ -58,9 +58,27 @@ class BatchLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch. Multi-host feeding passes
+        ``shard_id=jax.process_index(), num_shards=jax.process_count()``:
+        every process computes the identical (seed, epoch) global order and
+        assembles only its contiguous ``batch_size/num_shards``-row slice of
+        each global batch — matching the contiguous per-process blocks of a
+        batch-sharded array on a process-major device mesh (parallel/mesh.py
+        ``put_batch``)."""
+        if batch_size % num_shards != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by num_shards "
+                f"({num_shards})")
+        if not 0 <= shard_id < num_shards:
+            raise ValueError(f"shard_id {shard_id} outside [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.seed = seed
@@ -100,8 +118,8 @@ class BatchLoader:
         from video_moment_localization_tpu.data import native
 
         n = len(samples)
-        pad = self.batch_size - n
-        batch = collate(samples, self.batch_size)
+        pad = self.local_batch - n
+        batch = collate(samples, self.local_batch)
         labels = native.assemble_batch_packed(
             np.asarray([s.pop("_spos") for s in samples] + [0.0] * pad),
             np.asarray([s.pop("_epos") for s in samples] + [1.0] * pad),
@@ -123,7 +141,7 @@ class BatchLoader:
         sample_fn = (self.dataset.sample_core if batched_labels
                      else self.dataset.sample)
         make_batch = (self._assemble_batch if batched_labels
-                      else (lambda s: collate(s, self.batch_size)))
+                      else (lambda s: collate(s, self.local_batch)))
         order = self._order(epoch)
         T = self.dataset.T
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -148,13 +166,22 @@ class BatchLoader:
                     for start in range(0, len(order), self.batch_size):
                         if stop.is_set():
                             return
-                        idxs = order[start : start + self.batch_size]
+                        chunk = order[start : start + self.batch_size]
+                        lo = self.shard_id * self.local_batch
+                        idxs = chunk[lo : lo + self.local_batch]
+                        empty_shard = len(idxs) == 0
+                        if empty_shard:
+                            # Final partial global batch may leave later
+                            # shards empty; every process must still emit a
+                            # batch (collective step). Assemble one dummy row
+                            # and mask it out below.
+                            idxs = order[:1]
                         # Preallocated feature buffer (batched path, feature
                         # width known after the first batch): workers write
                         # rows in place — no per-sample buffer + stack copy.
                         vf = None
                         if batched_labels and self._dv is not None:
-                            vf = np.zeros((self.batch_size, T, self._dv),
+                            vf = np.zeros((self.local_batch, T, self._dv),
                                           np.float32)
                         # One future per worker, not per sample: future
                         # submit/result overhead (~50 us each under the GIL)
@@ -180,6 +207,15 @@ class BatchLoader:
                             batch["video_features"] = vf
                         elif batched_labels:
                             self._dv = batch["video_features"].shape[-1]
+                        if empty_shard:
+                            # All rows are padding: zero them (matching the
+                            # zero-pad convention of partial batches) and
+                            # mask everything out.
+                            batch = {
+                                k: (np.zeros_like(v)
+                                    if isinstance(v, np.ndarray) else v)
+                                for k, v in batch.items()
+                            }
                         if not put_checked(batch):
                             return
                 put_checked(None)

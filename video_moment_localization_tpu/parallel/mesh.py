@@ -8,13 +8,21 @@ the all-reduce XLA inserts when a jitted step consumes a data-sharded batch
 against replicated parameters — no hand-written communication backend
 (SURVEY.md §5.8 disposition).
 
-Scaling beyond one slice: the same mesh can span DCN-connected slices; keep
-the ``data`` axis innermost over ICI so the gradient psum rides ICI links.
+Multi-host: `initialize_distributed()` gates `jax.distributed.initialize`
+(one JAX process per host); `jax.devices()` then lists every chip in the
+job, process-major. The data axis spans hosts — its gradient all-reduce
+rides ICI within a slice and DCN across slices — while `arrange_2d` keeps
+the seq axis inside one host so sequence-parallel collectives (the
+latency-sensitive per-layer halo/psum traffic) never cross DCN. Per-host
+input feeding uses `jax.make_array_from_process_local_data`: each process
+loads only its shard of the global batch (`BatchLoader(shard_id=...,
+num_shards=...)`) and `put_batch` assembles the global sharded array.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import os
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
@@ -25,13 +33,74 @@ from video_moment_localization_tpu.data.datasets import TENSOR_KEYS
 DATA_AXIS = "data"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-host JAX when configured; no-op otherwise.
+
+    Configuration comes from the arguments or, when they are None, the
+    standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID — also auto-detected by JAX on Cloud TPU VMs). Returns
+    True when running multi-process. Safe to call twice (second call is a
+    no-op). Single-host hardware (this environment) always returns False.
+    """
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return jax.process_count() > 1
+    if jax.process_count() > 1:  # already initialized
+        return True
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices."""
+    """1-D data-parallel mesh over the first `num_devices` devices.
+
+    Multi-host: `jax.devices()` is process-major, so each host's chips are
+    a contiguous block of the data axis — per-host batch shards are
+    contiguous row ranges and the all-reduce tree keeps intra-host traffic
+    on ICI.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = num_devices or len(devices)
     if n > len(devices):
         raise ValueError(f"requested {n} devices, only {len(devices)} available")
     return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
+def arrange_2d(devices: Sequence[Any], seq: int) -> np.ndarray:
+    """(data, seq) device grid with the seq axis confined to one host.
+
+    Sequence-parallel collectives run once per SMI layer (latency-bound);
+    the data-axis gradient all-reduce runs once per step. So the seq axis
+    must stay on ICI while the data axis may span DCN. `jax.devices()` is
+    process-major: reshaping to (nd, seq) keeps each seq row within one
+    process iff seq divides the per-process device count — validated here.
+    """
+    devices = list(devices)
+    total = len(devices)
+    if total % seq != 0:
+        raise ValueError(f"device count ({total}) not divisible by seq ({seq})")
+    grid = np.asarray(devices).reshape(total // seq, seq)
+    for row in grid:
+        procs = {getattr(d, "process_index", 0) for d in row}
+        if len(procs) > 1:
+            raise ValueError(
+                "seq axis would span hosts (processes "
+                f"{sorted(procs)}): sequence-parallel collectives must stay "
+                "on ICI. Use seq_devices that divides the per-host chip "
+                "count ({} per host here).".format(
+                    sum(1 for d in devices
+                        if getattr(d, "process_index", 0)
+                        == getattr(devices[0], "process_index", 0)))
+            )
+    return grid
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -51,8 +120,20 @@ def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def put_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Host batch -> device arrays sharded along the batch axis."""
+    """Host batch -> device arrays sharded along the batch axis.
+
+    Single-process: one sharded device_put. Multi-host: `batch` holds only
+    this process's rows (a contiguous slice of the global batch, from
+    `BatchLoader(shard_id=process_index, num_shards=process_count)`);
+    `jax.make_array_from_process_local_data` assembles the global array
+    without any cross-host copy.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in device_batch(batch).items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in device_batch(batch).items()}
 
 

@@ -498,6 +498,17 @@ def put_batch_2d(batch, mesh: Mesh):
         "end_pos": P("data"),
         "sample_mask": P("data"),
     }
+    if jax.process_count() > 1:
+        # Multi-host: each process holds its contiguous data-axis slice
+        # (BatchLoader shard) but the FULL seq axis; make_array assembles
+        # the global array from per-process local data without host copies.
+        import numpy as np
+
+        return {
+            k: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, specs[k]), np.asarray(v))
+            for k, v in device_batch(batch).items()
+        }
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in device_batch(batch).items()

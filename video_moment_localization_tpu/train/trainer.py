@@ -22,6 +22,7 @@ from collections import defaultdict
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -161,10 +162,12 @@ class Trainer:
             self.cfg.model = dataclasses.replace(m, packed=False)
             print("[trainer] 2-D (data x seq) mesh + compat_head: dense "
                   "row-sharded layout (packed=False)")
-        self.mesh = Mesh(
-            np.asarray(jax.devices()[:total]).reshape(nd, self.seq),
-            ("data", "seq"),
-        )
+        from video_moment_localization_tpu.parallel.mesh import arrange_2d
+
+        # arrange_2d keeps each seq row on one host (ICI-only seq collectives;
+        # the data axis may span DCN on multi-host jobs).
+        self.mesh = Mesh(arrange_2d(jax.devices()[:total], self.seq),
+                         ("data", "seq"))
 
     def _maybe_enable_remat(self) -> None:
         """Auto-enable SMI rematerialization when the estimated backward
@@ -203,8 +206,11 @@ class Trainer:
         # host synchronization (per-step metrics stay on device; valid-sample
         # counts come from the host-side batch), so input transfer and
         # compute pipeline. One sync at epoch end drains everything.
+        # Multi-host: the host-side batch holds only this process's shard;
+        # the global valid-sample count comes from the assembled device
+        # array (a lazy device scalar — no extra sync per step).
+        multiproc = jax.process_count() > 1
         per_step = []
-        total = 0
         self.timer.start()
         for i, batch in enumerate(loader.epoch(epoch)):
             device = place(batch)
@@ -214,19 +220,21 @@ class Trainer:
                 )
             else:
                 m = step_fn(self.params, device)
-            per_step.append((m, float(batch["sample_mask"].sum())))
-            total += int(per_step[-1][1])
+            n_valid = (jnp.sum(device["sample_mask"]) if multiproc
+                       else float(batch["sample_mask"].sum()))
+            per_step.append((m, n_valid))
             if (i + 1) % 16 == 0:
                 # Periodic drain: bounds the number of in-flight batches
                 # resident on device without giving up pipelining.
                 m["loss"].block_until_ready()
         loss_sum, counts_sum, num = 0.0, None, 0.0
         for m, n_valid in per_step:
+            n_valid = float(n_valid)
             loss_sum += float(m["loss"]) * n_valid
             counts = np.asarray(m["counts"])
             counts_sum = counts if counts_sum is None else counts_sum + counts
             num += n_valid
-        self.timer.stop(total)
+        self.timer.stop(int(num))
         metrics = counts_to_dict(counts_sum / max(num, 1.0)) if counts_sum is not None else {}
         return loss_sum / max(num, 1.0), metrics
 
