@@ -100,12 +100,19 @@ def main():
     vmask = packed_valid_mask(lm).astype(dt)
     sm = jnp.asarray(rng.uniform(0, 1, (B, N)).astype(np.float32))
 
-    f = jnp.asarray(rng.standard_normal((B, T, D)), dt)
-    fs = jnp.asarray(rng.standard_normal((B, D)), dt)
-    fw = jnp.asarray(rng.standard_normal((B, Nq, D)), dt)
-    fc = jnp.asarray(rng.standard_normal((B, N, C, D)), dt)
-    fm = jnp.asarray(rng.standard_normal((B, N, D)), dt)
-    fb = jnp.asarray(rng.standard_normal((B, L, D)), dt)
+    # Large intermediates are generated ON DEVICE (the axon tunnel rejects
+    # multi-GB host->device transfers with HTTP 413).
+    def dnorm(seed, shape):
+        return jax.jit(
+            lambda: jax.random.normal(jax.random.PRNGKey(seed), shape, dt)
+        )()
+
+    f = dnorm(1, (B, T, D))
+    fs = dnorm(2, (B, D))
+    fw = dnorm(3, (B, Nq, D))
+    fc = dnorm(4, (B, N, C, D))
+    fm = dnorm(5, (B, N, D))
+    fb = dnorm(6, (B, L, D))
     fm32 = fm.astype(jnp.float32)
     fb32 = fb.astype(jnp.float32)
     pm = jnp.asarray(rng.uniform(0, 1, (B, N)).astype(np.float32))

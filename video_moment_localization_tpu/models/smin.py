@@ -191,7 +191,21 @@ def content_attention(p: Params, query5, key, value, key_mask):
 # --------------------------------------------------------------------- #
 # SMI units
 # --------------------------------------------------------------------- #
-def boundary_unit(p: Params, f_b, f_w, f_s, f_m, query_mask, length_mask):
+def moment_gate(f_m, f_s):
+    """fbar_m = sigmoid(f_m * f_s) * f_m — the gated moment message.
+
+    The reference computes this identical value independently inside BOTH
+    the content unit (models.py:268-269) and the boundary unit
+    (models.py:191-193) of every SMI block; computing it once per block
+    saves a full (B, N, D)-sized elementwise pass per layer. f_s is
+    broadcast over the map axes (f_m may be (B, L, L, D) or packed
+    (B, N, D))."""
+    fs = f_s.reshape(f_s.shape[0], *([1] * (f_m.ndim - 2)), f_s.shape[-1])
+    return jax.nn.sigmoid(f_m * fs) * f_m
+
+
+def boundary_unit(p: Params, f_b, f_w, f_s, f_m, query_mask, length_mask,
+                  fbar=None):
     """Query-guided boundary refinement + moment->boundary message.
 
     Reference: models.py:156-196 (BoundaryUnit), including the row-mask /
@@ -210,12 +224,14 @@ def boundary_unit(p: Params, f_b, f_w, f_s, f_m, query_mask, length_mask):
 
     f_bb = jnp.einsum("bij,bjd->bid", A_b, f_b) * f_b_mask
 
-    g_m = jax.nn.sigmoid(f_m * f_s[:, None, None, :])           # (B, L, L, D)
-    f_bm = jnp.einsum("bij,bijd->bid", A_b, g_m * f_m)
+    if fbar is None:
+        fbar = moment_gate(f_m, f_s)                            # (B, L, L, D)
+    f_bm = jnp.einsum("bij,bijd->bid", A_b, fbar)
     return f_bb + f_b + f_bm
 
 
-def content_unit(p: Params, f_c, f_w, f_s, f_m, query_mask, moment_mask):
+def content_unit(p: Params, f_c, f_w, f_s, f_m, query_mask, moment_mask,
+                 fbar=None):
     """Query-guided content refinement + intra-moment clip self-attention.
 
     Reference: models.py:228-276 (ContentUnit). NB: the clip self-attention
@@ -239,9 +255,9 @@ def content_unit(p: Params, f_c, f_w, f_s, f_m, query_mask, moment_mask):
     f_cc_hat = jnp.einsum("blmce,blmed->blmcd", A_c, f_c_hat)
     f_cc = _linear(p["c_out"], f_cc_hat) * f_c_mask             # (B, L, L, C, D)
 
-    g_m = jax.nn.sigmoid(f_m * f_s[:, None, None, :])
-    fbar_m = g_m * f_m                                          # (B, L, L, D)
-    return f_cc + f_c + fbar_m[:, :, :, None, :]
+    if fbar is None:
+        fbar = moment_gate(f_m, f_s)                            # (B, L, L, D)
+    return f_cc + f_c + fbar[:, :, :, None, :]
 
 
 def moment_unit(p: Params, f_c, f_m, f_b, moment_mask):
@@ -261,8 +277,11 @@ def moment_unit(p: Params, f_c, f_m, f_b, moment_mask):
 def smi_block(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask, length_mask, moment_mask):
     """One interaction block (reference models.py:305-322): the moment unit
     consumes the *updated* content/boundary but the *previous* f_m."""
-    cu = content_unit(p["content"], f_c, f_w, f_s, f_m, query_mask, moment_mask)
-    bu = boundary_unit(p["boundary"], f_b, f_w, f_s, f_m, query_mask, length_mask)
+    fbar = moment_gate(f_m, f_s)     # shared by content + boundary units
+    cu = content_unit(p["content"], f_c, f_w, f_s, f_m, query_mask, moment_mask,
+                      fbar=fbar)
+    bu = boundary_unit(p["boundary"], f_b, f_w, f_s, f_m, query_mask, length_mask,
+                       fbar=fbar)
     mu = moment_unit(p["moment"], cu, f_m, bu, moment_mask)
     return cu, mu, bu
 
@@ -288,7 +307,8 @@ def content_attention_packed(p: Params, query3, key, value, key_mask):
     return jnp.einsum("bncm,bmd->bncd", weights, value)
 
 
-def content_unit_packed(p: Params, f_c, f_w, f_s, f_m, query_mask, vmask):
+def content_unit_packed(p: Params, f_c, f_w, f_s, f_m, query_mask, vmask,
+                        fbar=None):
     """ContentUnit over packed pairs: f_c (B, N, C, D), f_m (B, N, D),
     vmask (B, N)."""
     dl = p["c_hat"]["w"].shape[1]
@@ -309,13 +329,13 @@ def content_unit_packed(p: Params, f_c, f_w, f_s, f_m, query_mask, vmask):
     f_cc_hat = jnp.einsum("bnce,bned->bncd", A_c, f_c_hat)
     f_cc = _linear(p["c_out"], f_cc_hat) * f_c_mask
 
-    g_m = jax.nn.sigmoid(f_m * f_s[:, None, :])
-    fbar_m = g_m * f_m                                          # (B, N, D)
-    return f_cc + f_c + fbar_m[:, :, None, :]
+    if fbar is None:
+        fbar = moment_gate(f_m, f_s)                            # (B, N, D)
+    return f_cc + f_c + fbar[:, :, None, :]
 
 
 def boundary_unit_packed(p: Params, f_b, f_w, f_s, f_m, query_mask,
-                         length_mask, L: int):
+                         length_mask, L: int, fbar=None):
     """BoundaryUnit with the moment->boundary message read from packed f_m.
 
     The dense message f_bm[i] = sum_j A_b[i, j] * (g.f_m)[i, j] becomes a
@@ -340,11 +360,12 @@ def boundary_unit_packed(p: Params, f_b, f_w, f_s, f_m, query_mask,
 
     f_bb = jnp.einsum("bij,bjd->bid", A_b, f_b) * f_b_mask
 
-    g_m = jax.nn.sigmoid(f_m * f_s[:, None, :])                 # (B, N, D)
+    if fbar is None:
+        fbar = moment_gate(f_m, f_s)                            # (B, N, D)
     pk = triu_packing(L)
     B = A_b.shape[0]
     A_b_packed = jnp.take(A_b.reshape(B, L * L), jnp.asarray(pk.flat_idx), axis=1)
-    f_bm = rowsum_packed(A_b_packed[..., None] * (g_m * f_m), L)  # (B, L, D)
+    f_bm = rowsum_packed(A_b_packed[..., None] * fbar, L)       # (B, L, D)
     return f_bb + f_b + f_bm
 
 
@@ -364,6 +385,7 @@ def moment_unit_packed(p: Params, f_c, f_m, f_b, vmask, L: int):
 
 def smi_block_packed(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask,
                      length_mask, vmask, L: int, fused_content: bool = False):
+    fbar = moment_gate(f_m, f_s)     # shared by content + boundary units
     if fused_content:
         from video_moment_localization_tpu.ops.content_pallas import (
             content_unit_fused,
@@ -373,9 +395,9 @@ def smi_block_packed(p: Params, f_c, f_m, f_b, f_w, f_s, query_mask,
                                 query_mask, vmask)
     else:
         cu = content_unit_packed(p["content"], f_c, f_w, f_s, f_m,
-                                 query_mask, vmask)
+                                 query_mask, vmask, fbar=fbar)
     bu = boundary_unit_packed(p["boundary"], f_b, f_w, f_s, f_m, query_mask,
-                              length_mask, L)
+                              length_mask, L, fbar=fbar)
     mu = moment_unit_packed(p["moment"], cu, f_m, bu, vmask, L)
     return cu, mu, bu
 

@@ -38,6 +38,7 @@ from video_moment_localization_tpu.models.smin import (
     _linear,
     content_unit,
     localization,
+    moment_gate,
     moment_unit,
     query_encoder,
     word_attention,
@@ -51,7 +52,7 @@ _NEG_INF = -1e9
 
 
 def _boundary_unit_rows(p: Params, f_b, f_w, f_s, f_m_rows, query_mask,
-                        length_mask, n: int):
+                        length_mask, n: int, fbar_rows=None):
     """BoundaryUnit with full boundary features but row-sharded f_m.
 
     Same math as models.smin.boundary_unit; the moment->boundary message is
@@ -75,8 +76,9 @@ def _boundary_unit_rows(p: Params, f_b, f_w, f_s, f_m_rows, query_mask,
     k = jax.lax.axis_index(SEQ_AXIS)
     rows = L // n
     A_b_rows = jax.lax.dynamic_slice_in_dim(A_b, k * rows, rows, axis=1)
-    g_m = jax.nn.sigmoid(f_m_rows * f_s[:, None, None, :])
-    f_bm_rows = jnp.einsum("bij,bijd->bid", A_b_rows, g_m * f_m_rows)
+    if fbar_rows is None:
+        fbar_rows = moment_gate(f_m_rows, f_s)
+    f_bm_rows = jnp.einsum("bij,bijd->bid", A_b_rows, fbar_rows)
     f_bm = jax.lax.all_gather(f_bm_rows, SEQ_AXIS, axis=1, tiled=True)
     return f_bb + f_b + f_bm
 
@@ -104,8 +106,11 @@ def _body(cfg: ModelConfig, n: int, starts, ends, weights,
     fb = jax.lax.all_gather(fb_loc, SEQ_AXIS, axis=1, tiled=True)  # (B, L, D)
 
     for p_layer in params["smi"]:
-        cu = content_unit(p_layer["content"], fc, fw, fs, fm, qm, mm_rows)
-        bu = _boundary_unit_rows(p_layer["boundary"], fb, fw, fs, fm, qm, lm, n)
+        fbar_rows = moment_gate(fm, fs)   # shared content/boundary gate
+        cu = content_unit(p_layer["content"], fc, fw, fs, fm, qm, mm_rows,
+                          fbar=fbar_rows)
+        bu = _boundary_unit_rows(p_layer["boundary"], fb, fw, fs, fm, qm, lm,
+                                 n, fbar_rows=fbar_rows)
         # MomentUnit on local rows: start-boundary features are the local
         # row block, end-boundary features the full set.
         k = jax.lax.axis_index(SEQ_AXIS)
@@ -258,7 +263,8 @@ def _local_pool_packed(f_loc, vmask_loc, starts, ends, weights_loc,
 
 
 def _boundary_unit_packed_chunk(p: Params, f_b, f_w, f_s, f_m_loc, query_mask,
-                                length_mask, flat_idx_loc, i_idx_loc, L: int):
+                                length_mask, flat_idx_loc, i_idx_loc, L: int,
+                                fbar_loc=None):
     """boundary_unit_packed with the moment message from a local pair chunk.
 
     f_bm[i] = sum over pairs with start row i of A_b[pair] * (g*f_m)[pair]:
@@ -280,8 +286,9 @@ def _boundary_unit_packed_chunk(p: Params, f_b, f_w, f_s, f_m_loc, query_mask,
 
     B = A_b.shape[0]
     A_b_loc = jnp.take(A_b.reshape(B, L * L), flat_idx_loc, axis=1)  # (B, Nl)
-    g_m = jax.nn.sigmoid(f_m_loc * f_s[:, None, :])
-    msg = A_b_loc[..., None] * (g_m * f_m_loc)                  # (B, Nl, D)
+    if fbar_loc is None:
+        fbar_loc = moment_gate(f_m_loc, f_s)
+    msg = A_b_loc[..., None] * fbar_loc                         # (B, Nl, D)
     row_onehot = jax.nn.one_hot(i_idx_loc, L, dtype=msg.dtype)  # (Nl, L)
     f_bm_part = jnp.einsum("nl,bnd->bld", row_onehot, msg)
     f_bm = jax.lax.psum(f_bm_part, SEQ_AXIS)
@@ -340,10 +347,12 @@ def _body_packed(cfg: ModelConfig, n: int, consts,
     fb = jax.lax.all_gather(fb_loc, SEQ_AXIS, axis=1, tiled=True)  # (B, L, D)
 
     for p_layer in params["smi"]:
+        fbar_loc = moment_gate(fm, fs)    # shared content/boundary gate
         cu = content_unit_packed(p_layer["content"], fc, fw, fs, fm, qm,
-                                 vmask_loc)
+                                 vmask_loc, fbar=fbar_loc)
         bu = _boundary_unit_packed_chunk(p_layer["boundary"], fb, fw, fs, fm,
-                                         qm, lm, fi_loc, i_loc, L)
+                                         qm, lm, fi_loc, i_loc, L,
+                                         fbar_loc=fbar_loc)
         mu = _moment_unit_packed_chunk(p_layer["moment"], cu, fm, bu,
                                        vmask_loc, i_loc, j_loc)
         fc, fm, fb = cu, mu, bu
