@@ -118,25 +118,36 @@ def main():
     pm = jnp.asarray(rng.uniform(0, 1, (B, N)).astype(np.float32))
     ps = jnp.asarray(rng.uniform(0, 1, (B, L)).astype(np.float32))
 
+    # Every device array is an explicit jit argument: arrays merely closed
+    # over become embedded HLO constants, and the tunnel's remote_compile
+    # rejects multi-GB request bodies (HTTP 413).
     p_smi = params["smi"][0]
     stages = {
-        "backbone": (lambda vf: backbone(params, cfg, vf, vm, qf, qm), (vf,)),
+        "backbone": (
+            lambda vf, vm, qf, qm: backbone(params, cfg, vf, vm, qf, qm),
+            (vf, vm, qf, qm)),
         "proposal(pallas)": (
-            lambda f: proposal_features_packed_auto(f, lm, L, C, True), (f,)),
+            lambda f, lm: proposal_features_packed_auto(f, lm, L, C, True),
+            (f, lm)),
         "content_unit x3": (
-            lambda fc: content_unit_packed(p_smi["content"], fc, fw, fs, fm,
-                                           qm, vmask), (fc,)),
+            lambda fc, fw, fs, fm, qm, vmask: content_unit_packed(
+                p_smi["content"], fc, fw, fs, fm, qm, vmask),
+            (fc, fw, fs, fm, qm, vmask)),
         "boundary_unit x3": (
-            lambda fb: boundary_unit_packed(p_smi["boundary"], fb, fw, fs, fm,
-                                            qm, lm, L), (fb,)),
+            lambda fb, fw, fs, fm, qm, lm: boundary_unit_packed(
+                p_smi["boundary"], fb, fw, fs, fm, qm, lm, L),
+            (fb, fw, fs, fm, qm, lm)),
         "moment_unit x3": (
-            lambda fc: moment_unit_packed(p_smi["moment"], fc, fm, fb, vmask,
-                                          L), (fc,)),
+            lambda fc, fm, fb, vmask: moment_unit_packed(
+                p_smi["moment"], fc, fm, fb, vmask, L),
+            (fc, fm, fb, vmask)),
         "localization": (
-            lambda fm32: localization_packed(params["localization"], fm32,
-                                             fb32, lm, vmask, L), (fm32,)),
+            lambda fm32, fb32, lm, vmask: localization_packed(
+                params["localization"], fm32, fb32, lm, vmask, L),
+            (fm32, fb32, lm, vmask)),
         "recall_counts": (
-            lambda pm: recall_counts_packed(pm, ps, ps, lm, sm), (pm,)),
+            lambda pm, ps, lm, sm: recall_counts_packed(pm, ps, ps, lm, sm),
+            (pm, ps, lm, sm)),
     }
 
     total = 0.0

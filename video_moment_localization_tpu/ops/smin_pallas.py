@@ -1,0 +1,498 @@
+"""Fused serving kernel: proposal pooling + full SMI stack + heads in VMEM.
+
+The packed XLA serving path is HBM-bound: every SMI layer re-materializes
+(B, N, C, D)-scale intermediates (~25 GB of HBM round trips per layer at
+the flagship batch), while the whole per-sample state of the SMIN interior
+is tiny (~1.2 MB at Charades scale: fc 544x512 bf16 = 557 KB, fm 139 KB,
+fb 16 KB). This kernel exploits that: each grid cell loads the fused
+backbone features ``f (BB, T, D)`` for BB batch elements and runs
+
+    proposal pooling -> [ContentUnit -> BoundaryUnit -> MomentUnit] x 3
+    -> localization heads
+
+entirely out of VMEM, writing only the final scores pm (BB, N) and
+ps/pe/pa (BB, L). HBM traffic collapses to one read of f plus the weights
+(resident across the grid) — ~0.9 GB total at B=6144 vs ~80 GB for the
+XLA path.
+
+Semantics match the packed XLA path (models/smin.py smi_block_packed +
+localization_packed, which itself reproduces reference models.py:100-344)
+at bf16 tolerance; tested against it in tests/test_smin_pallas.py.
+
+Design notes:
+
+* rows are **b-major**: per-cell working sets are (BB*NC, D) with row
+  (b, n*C + c) — per-element slices are contiguous, so the few genuinely
+  per-element ops (word attention vs that element's keys, the L x L
+  boundary attention) run as small per-b matmul loops (BB is 1-4) while
+  every projection runs as one big MXU matmul over all BB elements;
+* the proposal pooling is a static averaging matrix ``Wc (NC, T)`` matmul
+  per element — 2*NC*T*D = 36 MFLOP/elem, noise on the MXU, instead of
+  in-kernel prefix sums (the reference's dense Wc einsum is bad because of
+  the (L, L) garbage + T-times re-read from HBM; neither applies in VMEM);
+* static pair gathers (boundary outer product, row aggregation) are
+  one-hot matmuls (SelI/SelJ (N, L), Rsum (L, N)) — MXU, no gather op;
+* A_b pair gather: A_bp[n] = A_b[i_n, j_n] = sum_l (SelI@A_b)[n, l] *
+  SelJ[n, l] — one tiny matmul + a lane reduction, no 2-D gather;
+* 3 SMI layers are a static python loop over stacked (3, ...) weights.
+
+Supports() gates on the per-element VMEM footprint: Charades (L=16,
+NC=544) and TACoS (L=32, NC=2112) fit; ActivityNet (L=64, NC=8320) does
+not and keeps the XLA path. Forward/serving only — training uses the XLA
+path (a custom VJP would have to re-materialize everything the kernel
+exists to avoid).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_moment_localization_tpu.ops.content_matrix import content_segments
+from video_moment_localization_tpu.ops.packing import triu_packing
+
+_NEG_INF = -1e9
+
+
+@functools.lru_cache(maxsize=None)
+def _geometry(T: int, L: int, C: int):
+    """Static matrices: Wc (NC, T) packed clip averaging, Wb (L, T) boundary
+    avg-pool, SelI/SelJ (N, L) pair-start/end one-hots, Rsum (L, N) row
+    aggregation."""
+    seg = content_segments(T, L, C)
+    pk = triu_packing(L)
+    N = pk.N
+    NC = N * C
+
+    wc = np.zeros((NC, T), np.float32)
+    starts = seg.starts[pk.i_idx, pk.j_idx]          # (N, C)
+    sizes = seg.sizes[pk.i_idx, pk.j_idx]
+    weights = seg.weights[pk.i_idx, pk.j_idx]
+    for n in range(N):
+        for c in range(C):
+            s, z, w = int(starts[n, c]), int(sizes[n, c]), float(weights[n, c])
+            wc[n * C + c, s : s + z] = w
+
+    wb = np.zeros((L, T), np.float32)
+    k = T // L
+    for l in range(L):
+        wb[l, l * k : (l + 1) * k] = 1.0 / k
+
+    sel_i = np.zeros((N, L), np.float32)
+    sel_j = np.zeros((N, L), np.float32)
+    sel_i[np.arange(N), pk.i_idx] = 1.0
+    sel_j[np.arange(N), pk.j_idx] = 1.0
+    return wc, wb, sel_i, sel_j, pk.row_onehot  # row_onehot = Rsum (L, N)
+
+
+def supports(cfg_or_L, C: int | None = None, D: int | None = None) -> bool:
+    """VMEM feasibility: 2 (BB*NC, D) bf16 buffers + per-layer weights must
+    fit the ~16 MB budget at BB >= 1."""
+    if C is None:
+        L, C, D = cfg_or_L.L, cfg_or_L.C, cfg_or_L.D
+    else:
+        L = cfg_or_L
+    N = L * (L + 1) // 2
+    per_elem = 2 * N * C * D * 2 + 6 * N * D  # fc/cu bf16 + fm/fbar f32-ish
+    return per_elem <= 6_500_000  # leaves ~9 MB for weights + transients
+
+
+def _pick_bb(B: int, L: int, C: int, D: int) -> int:
+    N = L * (L + 1) // 2
+    per_elem = 2 * N * C * D * 2 + 6 * N * D
+    for bb in (4, 2, 1):
+        if B % bb == 0 and bb * per_elem <= 6_500_000:
+            return bb
+    return 1
+
+
+def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
+            mcol_ref, wc_ref, wb_ref, seli_ref, selj_ref, rsum_ref,
+            cw_ref, cb_ref, bw_ref, bb_ref, mw_ref, mb_ref, hw_ref, hb_ref,
+            pm_ref, pb_ref, *, BB: int, T: int, L: int, C: int, N: int,
+            Nq: int, D: int, dl: int, n_layers: int):
+    """One grid cell: BB batch elements through the full SMIN interior.
+
+    Stacked weight layout (built in `_stack_weights`):
+      cw (n_layers, D + dl + ... ) content mats, cb content biases
+      bw boundary attention mats, mw moment conv mats, hw (D, 4+1) heads —
+    see _stack_weights for exact slicing; biases ride in f32.
+    """
+    f32 = jnp.float32
+    w = f_ref.dtype
+    NC = N * C
+    inv_sd = 1.0 / math.sqrt(D)
+    inv_sdl = 1.0 / math.sqrt(dl)
+
+    qmask = qmask_ref[:].astype(f32)                     # (BB, 1, Nq) lanes
+    lmask = lmask_ref[:].astype(f32)                     # (BB, 1, L) lanes
+    mcol = mcol_ref[:].reshape(BB * NC, 1).astype(f32)   # (BB, NC, 1) in
+    # row-mask layouts arrive as separate (rows, 1) inputs: deriving them
+    # from the lane layouts would need lane->sublane shape casts, which
+    # Mosaic's layout inference rejects at these widths.
+    mrow = mcol_ref[:].reshape(BB * N, C, 1)[:, 0, :].astype(f32)  # (BB*N, 1)
+    lrow = lrow_ref[:].reshape(BB * L, 1).astype(f32)    # (BB*L, 1)
+
+    fw_rows = fw_ref[:].reshape(BB * Nq, D)              # (BB*Nq, D) bf16
+    fs_rows = fs_ref[:].reshape(BB, D)                   # (BB, D) bf16
+
+    # ---------------- proposal pooling (all static matmuls) -------------- #
+    wc = wc_ref[:]                                       # (NC, T) bf16
+    wb = wb_ref[:]                                       # (L, T)
+    fc_parts = []
+    fb_parts = []
+    for b in range(BB):
+        fb_el = f_ref[b]                                 # (T, D) bf16
+        fc_parts.append(jnp.dot(wc, fb_el, preferred_element_type=f32))
+        fb_parts.append(jnp.dot(wb, fb_el, preferred_element_type=f32))
+    fc = (jnp.concatenate(fc_parts, axis=0) * mcol).astype(w)   # (BB*NC, D)
+    f_b = jnp.concatenate(fb_parts, axis=0).astype(w)           # (BB*L, D)
+
+    def mean_over_c(x_rows):
+        """(BB*NC, D) -> (BB*N, D) mean over the C clip rows of each pair
+        (static keepdim slices — Mosaic-safe middle-axis reduction)."""
+        x3 = x_rows.reshape(BB * N, C, D)
+        acc = x3[:, 0:1, :].astype(f32)
+        for e in range(1, C):
+            acc = acc + x3[:, e : e + 1, :].astype(f32)
+        return acc.reshape(BB * N, D) * (1.0 / C)
+
+    fm = (mean_over_c(fc) * mrow).astype(w)                     # (BB*N, D)
+
+    sel_i = seli_ref[:]                                  # (N, L) bf16
+    sel_j = selj_ref[:]
+    rsum = rsum_ref[:]                                   # (L, N)
+
+    for layer in range(n_layers):
+        cw = cw_ref[layer]
+        cb = cb_ref[layer].astype(f32)
+        bwm = bw_ref[layer]
+        bbv = bb_ref[layer].astype(f32)
+        mwm = mw_ref[layer]
+        mbv = mb_ref[layer].astype(f32)
+
+        # shared gated moment message fbar = sigmoid(fm * fs) * fm
+        fm32 = fm.astype(f32)
+        fm3 = fm32.reshape(BB, N, D)
+        fbar32 = (jax.nn.sigmoid(fm3 * fs_rows.astype(f32)[:, None, :])
+                  * fm3).reshape(BB * N, D)
+        fbar = fbar32.astype(w)                          # (BB*N, D)
+
+        # ---------------- ContentUnit ---------------- #
+        # Weights stacked along ROWS (every slice at lane offset 0 —
+        # Mosaic rejects lane-offset slices feeding broadcasts/matmuls):
+        # cw rows = [c_hat(D) | w_hat(D) | s_hat(D) | attn_q(dl) |
+        #            attn_k(dl) | c_out(dl)], width max(D, dl).
+        c_hat_w = cw[0:D, 0:dl]
+        w_hat_w = cw[D : 2 * D, 0:dl]
+        s_hat_w = cw[2 * D : 3 * D, 0:dl]
+        attn_q_w = cw[3 * D : 3 * D + dl, 0:dl]
+        attn_k_w = cw[3 * D + dl : 3 * D + 2 * dl, 0:dl]
+        c_out_w = cw[3 * D + 2 * dl : 3 * D + 3 * dl, 0:D]   # (dl, D)
+        c_hat_b = cb[0:1, 0:dl]
+        w_hat_b = cb[1:2, 0:dl]
+        s_hat_b = cb[2:3, 0:dl]
+        attn_q_b = cb[3:4, 0:dl]
+        attn_k_b = cb[4:5, 0:dl]
+        c_out_b = cb[5:6, 0:D]
+
+        h32 = (jnp.dot(fc, c_hat_w, preferred_element_type=f32)
+               + c_hat_b) * mcol                         # (BB*NC, dl) f32
+        h = h32.astype(w)
+
+        qm_cols = qrow_ref[:].reshape(BB * Nq, 1).astype(f32)
+        fwh32 = (jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32)
+                 + w_hat_b) * qm_cols                    # (BB*Nq, dl)
+        fwh = fwh32.astype(w)
+        khat = (jnp.dot(fwh, attn_k_w, preferred_element_type=f32)
+                + attn_k_b).astype(w)                    # (BB*Nq, dl)
+        fsh = (jnp.dot(fs_rows, s_hat_w, preferred_element_type=f32)
+               + s_hat_b)                                # (BB, dl) f32
+
+        q = (jnp.dot(h, attn_q_w, preferred_element_type=f32)
+             + attn_q_b).astype(w)                       # (BB*NC, dl)
+        caq_parts = []
+        for b in range(BB):
+            logits = jax.lax.dot_general(
+                q[b * NC : (b + 1) * NC], khat[b * Nq : (b + 1) * Nq],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * inv_sdl                                  # (NC, Nq)
+            logits = jnp.where(qmask[b] > 0, logits, _NEG_INF)
+            attn = jax.nn.softmax(logits, axis=-1).astype(w)
+            caq_parts.append(
+                jnp.dot(attn, fwh[b * Nq : (b + 1) * Nq],
+                        preferred_element_type=f32)
+            )
+        f_caq = jnp.concatenate(caq_parts, axis=0) * mcol       # (BB*NC, dl)
+
+        f_cq32 = h32 * (f_caq.reshape(BB, NC, dl)
+                        + fsh[:, None, :]).reshape(BB * NC, dl)
+
+        # intra-moment C x C clip attention on the VPU (static per-offset
+        # reductions — same trick as ops/content_pallas.py v2)
+        g = f_cq32.reshape(BB * N, C, dl)
+        hh = h32.reshape(BB * N, C, dl)
+        sim_cols = [
+            jnp.sum(g * g[:, e : e + 1, :], axis=-1).reshape(BB * NC, 1)
+            for e in range(C)
+        ]
+        sim = jnp.concatenate(sim_cols, axis=1) * inv_sdl       # (BB*NC, C)
+        a = jax.nn.softmax(sim, axis=-1) * mcol
+        acc = jnp.zeros((BB * N, C, dl), f32)
+        for e in range(C):
+            a_e = a[:, e : e + 1].reshape(BB * N, C, 1)
+            acc = acc + a_e * hh[:, e : e + 1, :]
+        f_cc_hat = acc.reshape(BB * NC, dl).astype(w)
+
+        f_cc = (jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32)
+                + c_out_b) * mcol                        # (BB*NC, D) f32
+        cu = (f_cc.astype(w).reshape(BB * N, C, D)
+              + fc.reshape(BB * N, C, D)
+              + fbar.reshape(BB * N, 1, D)).reshape(BB * NC, D)
+
+        # ---------------- BoundaryUnit ---------------- #
+        # bwm = [attn_q (D, D) | attn_k (D, D)] stacked on rows
+        b_q_w = bwm[:D, :]
+        b_k_w = bwm[D : 2 * D, :]
+        b_q_b = bbv[0:1, :]
+        b_k_b = bbv[1:2, :]
+
+        bq_all = (jnp.dot(f_b, b_q_w, preferred_element_type=f32)
+                  + b_q_b).astype(w)                     # (BB*L, D)
+        bk_all = (jnp.dot(fw_rows, b_k_w, preferred_element_type=f32)
+                  + b_k_b).astype(w)                     # (BB*Nq, D)
+        bu_parts = []
+        for b in range(BB):
+            fb_el = f_b[b * L : (b + 1) * L]             # (L, D)
+            lm_el = lmask[b]                             # (1, L)
+            lcol = lm_el.reshape(L, 1)
+            logits = jax.lax.dot_general(
+                bq_all[b * L : (b + 1) * L], bk_all[b * Nq : (b + 1) * Nq],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * inv_sd                                   # (L, Nq)
+            logits = jnp.where(qmask[b] > 0, logits, _NEG_INF)
+            f_baq = jnp.dot(jax.nn.softmax(logits, axis=-1).astype(w),
+                            fw_rows[b * Nq : (b + 1) * Nq],
+                            preferred_element_type=f32) * lcol
+            f_bq = (fb_el.astype(f32)
+                    * (f_baq + fs_rows[b].astype(f32)[None, :])).astype(w)
+            ab_log = jax.lax.dot_general(
+                f_bq, f_bq, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * inv_sd                                   # (L, L)
+            ab_log = jnp.where(lm_el > 0, ab_log, _NEG_INF)
+            A_b = jax.nn.softmax(ab_log, axis=-1) * lcol
+            A_bw = A_b.astype(w)
+            f_bb = jnp.dot(A_bw, fb_el, preferred_element_type=f32) * lcol
+            # pair gather A_bp[n] = A_b[i_n, j_n]
+            rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32)  # (N, L)
+            A_bp = jnp.sum(rows_i * sel_j.astype(f32), axis=-1,
+                           keepdims=True)                # (N, 1)
+            msg = (A_bp * fbar32[b * N : (b + 1) * N]).astype(w)
+            f_bm = jnp.dot(rsum, msg, preferred_element_type=f32)  # (L, D)
+            bu_parts.append(f_bb + fb_el.astype(f32) + f_bm)
+        bu = jnp.concatenate(bu_parts, axis=0).astype(w)          # (BB*L, D)
+
+        # ---------------- MomentUnit ---------------- #
+        # mwm = [conv_fb (D, D) | conv_fc (D, D)] stacked on rows
+        m_fb_w = mwm[:D, :]
+        m_fc_w = mwm[D : 2 * D, :]
+        m_fb_b = mbv[0:1, :]
+        m_fc_b = mbv[1:2, :]
+        outer_parts = []
+        for b in range(BB):
+            fb_el = bu[b * L : (b + 1) * L]
+            outer_parts.append(
+                jnp.dot(sel_i, fb_el, preferred_element_type=f32)
+                * jnp.dot(sel_j, fb_el, preferred_element_type=f32)
+            )
+        outer = jnp.concatenate(outer_parts, axis=0).astype(w)    # (BB*N, D)
+        conv_fb = (jnp.dot(outer, m_fb_w, preferred_element_type=f32)
+                   + m_fb_b) * mrow
+        cu_mean = mean_over_c(cu).astype(w)
+        conv_fc = (jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32)
+                   + m_fc_b) * mrow
+        mu = (conv_fb + conv_fc + fm.astype(f32)).astype(w)
+
+        fc, fm, f_b = cu, mu, bu
+
+    # ---------------- localization heads (fp32) ---------------- #
+    # hw rows = [pm head (D, 8 cols: col 0 live) | boundary heads (D, 8
+    # cols: ps|pe|pa|zeros)]; hb rows likewise.
+    hw = hw_ref[:].astype(f32)                           # (2*D, 8)
+    hb = hb_ref[:].astype(f32)                           # (2, 8)
+    pm8 = jax.nn.sigmoid(
+        jnp.dot(fm.astype(f32), hw[0:D], preferred_element_type=f32)
+        + hb[0:1]
+    ) * mrow                                             # (BB*N, 8)
+    pm_ref[:] = pm8[:, 0:1].reshape(BB, 1, N)
+    pb = jax.nn.sigmoid(
+        jnp.dot(f_b.astype(f32), hw[D : 2 * D], preferred_element_type=f32)
+        + hb[1:2]
+    ) * lrow                                             # (BB*L, 8)
+    pb_ref[:] = pb.reshape(BB, L, 8)
+
+
+def _stack_weights(params: Dict[str, Any], D: int, dl: int, dtype):
+    """Pack the SMI + head weights into a few stacked arrays (fewer, larger
+    kernel inputs -> fewer per-cell DMA descriptors)."""
+    f32 = jnp.float32
+    layers = params["smi"]
+
+    cw, cb, bw, bb_, mw, mb = [], [], [], [], [], []
+    width = max(dl, D)
+
+    def padw(x):
+        return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
+
+    for p in layers:
+        c = p["content"]
+        # Row-stacked (lane offset 0 for every kernel slice — see _kernel).
+        cw.append(jnp.concatenate([
+            padw(c["c_hat"]["w"]), padw(c["w_hat"]["w"]),
+            padw(c["s_hat"]["w"]), padw(c["attn_q"]["w"]),
+            padw(c["attn_k"]["w"]), padw(c["c_out"]["w"]),
+        ], axis=0))                                      # (3D+3dl, W)
+        cb.append(jnp.stack([
+            jnp.pad(c["c_hat"]["b"], (0, width - dl)),
+            jnp.pad(c["w_hat"]["b"], (0, width - dl)),
+            jnp.pad(c["s_hat"]["b"], (0, width - dl)),
+            jnp.pad(c["attn_q"]["b"], (0, width - dl)),
+            jnp.pad(c["attn_k"]["b"], (0, width - dl)),
+            jnp.pad(c["c_out"]["b"], (0, width - D)),
+        ]))                                              # (6, W)
+        b = p["boundary"]
+        bw.append(jnp.concatenate([b["attn_q"]["w"], b["attn_k"]["w"]], axis=0))
+        bb_.append(jnp.stack([b["attn_q"]["b"], b["attn_k"]["b"]]))
+        m = p["moment"]
+        mw.append(jnp.concatenate([m["conv_fb"]["w"], m["conv_fc"]["w"]], axis=0))
+        mb.append(jnp.stack([m["conv_fb"]["b"], m["conv_fc"]["b"]]))
+
+    loc = params["localization"]
+    hw = jnp.concatenate([
+        jnp.pad(loc["pm"]["w"], ((0, 0), (0, 7))),       # (D, 8) col 0 live
+        jnp.concatenate(
+            [loc["ps"]["w"], loc["pe"]["w"], loc["pa"]["w"],
+             jnp.zeros((D, 5), f32)], axis=1),           # (D, 8) cols 0..2
+    ], axis=0)                                           # (2D, 8)
+    hb = jnp.stack([
+        jnp.pad(loc["pm"]["b"], (0, 7)),
+        jnp.concatenate([loc["ps"]["b"], loc["pe"]["b"], loc["pa"]["b"],
+                         jnp.zeros((5,), f32)]),
+    ])                                                   # (2, 8)
+
+    return (
+        jnp.stack(cw).astype(dtype), jnp.stack(cb).astype(f32),
+        jnp.stack(bw).astype(dtype), jnp.stack(bb_).astype(f32),
+        jnp.stack(mw).astype(dtype), jnp.stack(mb).astype(f32),
+        hw.astype(f32), hb,
+    )
+
+
+def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
+                     vmask, interpret: bool = False):
+    """Proposal + SMI stack + heads, fused. Inputs are the backbone outputs:
+    f (B, T, D), fw (B, Nq, D), fs (B, D); masks as in smin_forward.
+    Returns (pm (B, N), ps, pe, pa (B, L)) in fp32."""
+    B, T, D = f.shape
+    L, C, dl = cfg.L, cfg.C, cfg.dl
+    N = L * (L + 1) // 2
+    NC = N * C
+    Nq = fw.shape[1]
+    n_layers = cfg.num_smi_layers
+    dtype = f.dtype
+    f32 = jnp.float32
+
+    BB = _pick_bb(B, L, C, D)
+    wc, wb, sel_i, sel_j, rsum = _geometry(T, L, C)
+
+    mcol = jnp.repeat(vmask.astype(f32), C, axis=1)[..., None]   # (B, NC, 1)
+    qm = query_mask[..., 0][:, None, :].astype(f32)      # (B, 1, Nq)
+    lm = length_mask[:, None, :].astype(f32)             # (B, 1, L)
+
+    stacked = _stack_weights(params, D, dl, dtype)
+
+    kernel = functools.partial(
+        _kernel, BB=BB, T=T, L=L, C=C, N=N, Nq=Nq, D=D, dl=dl,
+        n_layers=n_layers,
+    )
+    per_b = lambda i: (i, 0, 0)   # noqa: E731
+    const2 = lambda i: (0, 0)     # noqa: E731
+    const3 = lambda i: (0, 0, 0)  # noqa: E731
+
+    flops_el = n_layers * 2 * (
+        NC * (2 * D * dl + dl * dl + Nq * dl * 2 + 2 * C * dl)
+        + N * (2 * D * D)                     # moment convs
+        + L * (D * D + Nq * D * 2 + L * D * 2) + N * L * D * 3
+    ) + 2 * NC * T * D + 2 * L * T * D
+
+    pm, pb = pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[
+            pl.BlockSpec((BB, T, D), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Nq, D), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, D), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, Nq), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Nq, 1), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, L), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, L, 1), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, NC, 1), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, T), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, L), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, L), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, N), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 3 * D + 3 * dl, max(dl, D)), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 6, max(dl, D)), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * D, D), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2, D), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * D, D), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2, D), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * D, 8), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BB, 1, N), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, L, 8), per_b, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, N), f32),
+            jax.ShapeDtypeStruct((B, L, 8), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # The whole working set (3 layers of weights + BB elements of
+            # state) is VMEM-resident by design; the 16 MB default scoped
+            # limit is far below the v5e's physical 128 MB.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops_el,
+            bytes_accessed=B * (T + Nq + 1) * D * dtype.itemsize
+            + B * (N + 4 * L) * 4,
+            transcendentals=B * (NC * (Nq + C) + N + L * (Nq + L)),
+        ),
+        interpret=interpret,
+    )(
+        f, fw, fs[:, None, :], qm, query_mask.astype(f32), lm,
+        length_mask[..., None].astype(f32), mcol,
+        jnp.asarray(wc, dtype), jnp.asarray(wb, dtype),
+        jnp.asarray(sel_i, dtype), jnp.asarray(sel_j, dtype),
+        jnp.asarray(rsum, dtype),
+        *stacked,
+    )
+    ps, pe, pa = pb[..., 0], pb[..., 1], pb[..., 2]
+    return pm[:, 0, :], ps, pe, pa
