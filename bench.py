@@ -65,6 +65,7 @@ def _timed_fetch(fn, *args):
 def main() -> None:
     from __graft_entry__ import _charades_cfg, _synthetic_arrays
     from video_moment_localization_tpu.models import init_smin_params, smin_forward
+    from video_moment_localization_tpu.models.smin import smin_forward_inference
     from video_moment_localization_tpu.train.loss import smin_loss
     from video_moment_localization_tpu.train.metrics import (
         recall_counts,
@@ -87,7 +88,9 @@ def main() -> None:
     sm = jax.numpy.asarray(rng.uniform(0, 1, sm_shape).astype(np.float32))
 
     def score_batch(params, vf, vm, qf, qm, lm, mm, sm):
-        pm, ps, pe, _ = smin_forward(params, cfg, vf, vm, qf, qm, lm, mm)
+        # Serving path: fused SMI-stack kernel on TPU (XLA fallback inside).
+        pm, ps, pe, _ = smin_forward_inference(params, cfg, vf, vm, qf, qm,
+                                               lm, mm)
         if cfg.packed:
             return recall_counts_packed(pm, ps, pe, lm, sm)
         return recall_counts(pm, ps, pe, mm, sm)

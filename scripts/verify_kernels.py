@@ -101,6 +101,54 @@ def main() -> int:
         ok &= check("charades: fused ContentUnit (experimental)", [got], [ref],
                     rtol=2e-2, atol=2e-2)
 
+    # Fused SMI-stack serving kernel vs the packed XLA pipeline.
+    from video_moment_localization_tpu.models.smin import (
+        localization_packed,
+        smi_block_packed,
+    )
+    from video_moment_localization_tpu.ops import smin_pallas
+    from video_moment_localization_tpu.ops.packing import packed_valid_mask
+
+    stack_scales = [("charades", 8, 64, 16, 4, 512, 128, 13)]
+    if not args.quick:
+        stack_scales += [("tacos", 4, 128, 32, 4, 512, 128, 14)]
+    for name, B, T, L, C, D, dl, Nq in stack_scales:
+        cfg = ModelConfig(T=T, L=L, C=C, D=D, dl=dl, num_smi_layers=3,
+                          input_video_dim=1024, max_query_length=Nq,
+                          lstm_hidden_size=D // 2)
+        if not smin_pallas.supports(cfg):
+            print(f"skip  {name}: fused SMI stack (unsupported scale)")
+            continue
+        params = init_smin_params(jax.random.PRNGKey(1), cfg)
+        f = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+        fw = jnp.asarray(rng.standard_normal((B, Nq, D)).astype(np.float32))
+        fs = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        qmask = np.ones((B, Nq, 1), np.float32)
+        qmask[0, Nq // 2 :] = 0
+        qm = jnp.asarray(qmask)
+        length = np.ones((B, L), np.float32)
+        length[1, L // 2 :] = 0
+        lm = jnp.asarray(length)
+        vm = packed_valid_mask(lm)
+
+        def xla_stack(f, fw, fs, qm, lm, _params=params, _cfg=cfg):
+            vmask = packed_valid_mask(lm.astype(jnp.float32)).astype(f.dtype)
+            fc, fm_, fb = proposal_features_packed(f, lm, _cfg.L, _cfg.C)
+            for p_layer in _params["smi"]:
+                fc, fm_, fb = smi_block_packed(p_layer, fc, fm_, fb, fw, fs,
+                                               qm, lm, vmask, _cfg.L)
+            return localization_packed(_params["localization"], fm_, fb, lm,
+                                       vmask, _cfg.L)
+
+        ref = jax.jit(xla_stack)(f, fw, fs, qm, lm)
+        got = jax.jit(
+            lambda *a, _p=params, _c=cfg: smin_pallas.smin_stack_fused(
+                _p, _c, *a)
+        )(f, fw, fs, qm, lm, vm)
+        # 3 recurrent layers amplify single-pass-MXU vs HIGHEST rounding;
+        # compare scores at bf16-level tolerance.
+        ok &= check(f"{name}: fused SMI stack", got, ref, rtol=5e-2, atol=3e-2)
+
     print("ALL KERNELS VERIFIED" if ok else "KERNEL MISMATCH")
     return 0 if ok else 1
 

@@ -69,6 +69,10 @@ class ModelConfig:
     # Experimental fused ContentUnit kernel (ops/content_pallas.py). Off by
     # default: measured slower than XLA's batched GEMMs at Charades scale.
     fused_content: bool = False
+    # Fused SMI-stack serving kernel (ops/smin_pallas.py): run proposal +
+    # all SMI layers + heads in one VMEM-resident Pallas kernel on the
+    # grad-free (eval/serving) path. Auto-gated on TPU + VMEM feasibility.
+    fused_smi: bool = True
     # Reference-compatibility head: densify pm to (B, L, L) and run dense
     # loss/metrics with dense labels — bit-reproducing the reference's
     # top-k-over-tied-zeros eval quirk (PARITY.md #16). Default off: the
@@ -166,6 +170,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         packed=bool(params.get("packed", True)),
         remat_smi=bool(params.get("remat_smi", False)),
         fused_content=bool(params.get("fused_content", False)),
+        fused_smi=bool(params.get("fused_smi", True)),
         compat_head=bool(params.get("compat_head", False)),
     )
     return Config(

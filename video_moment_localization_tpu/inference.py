@@ -98,7 +98,12 @@ class MomentLocalizer:
     @staticmethod
     def _score_impl(cfg: ModelConfig, use_nms: bool, nms_sigma: float,
                     params, vf, vm, qf, qm, lm, mm, k: int):
-        pm, ps, pe, _ = smin_forward(params, cfg, vf, vm, qf, qm, lm, mm)
+        from video_moment_localization_tpu.models.smin import (
+            smin_forward_inference,
+        )
+
+        pm, ps, pe, _ = smin_forward_inference(params, cfg, vf, vm, qf, qm,
+                                               lm, mm)
         packed = pm.ndim == 2
         if packed:  # (B, N) packed scoring — no dense map on device
             score = proposal_scores_packed(pm, ps, pe, lm, cfg.L)

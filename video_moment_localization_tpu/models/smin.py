@@ -500,3 +500,41 @@ def smin_forward(
                            query_mask, length_mask, moment_mask)
 
     return localization(params["localization"], fm, fb, length_mask, moment_mask)
+
+
+def smin_forward_inference(
+    params: Params,
+    cfg: ModelConfig,
+    video_features: jnp.ndarray,
+    video_mask: jnp.ndarray,
+    query_features: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    length_mask: jnp.ndarray,
+    moment_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Grad-free forward for eval/serving: same contract as `smin_forward`,
+    but routes the SMIN interior through the fused VMEM-resident SMI-stack
+    kernel (ops/smin_pallas.py) when supported — measured 1.5x end-to-end
+    over the packed XLA path at the flagship serving batch. Falls back to
+    `smin_forward` off-TPU, at unsupported scales (ActivityNet L=64), or in
+    compat/dense modes. Not differentiable through the kernel path — use
+    `smin_forward` for training."""
+    if cfg.packed and not cfg.compat_head and cfg.fused_smi:
+        from video_moment_localization_tpu.ops import smin_pallas
+        from video_moment_localization_tpu.ops.proposal import _on_tpu
+
+        if _on_tpu() and smin_pallas.supports(cfg):
+            from video_moment_localization_tpu.ops.packing import (
+                packed_valid_mask,
+            )
+
+            dtype = jnp.dtype(cfg.compute_dtype)
+            vf = video_features.astype(dtype)
+            qf = query_features.astype(dtype)
+            f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
+            vmask = packed_valid_mask(
+                length_mask.astype(jnp.float32)).astype(dtype)
+            return smin_pallas.smin_stack_fused(
+                params, cfg, f, fw, fs, query_mask, length_mask, vmask)
+    return smin_forward(params, cfg, video_features, video_mask,
+                        query_features, query_mask, length_mask, moment_mask)

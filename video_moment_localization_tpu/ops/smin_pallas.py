@@ -105,10 +105,18 @@ def supports(cfg_or_L, C: int | None = None, D: int | None = None) -> bool:
 
 
 def _pick_bb(B: int, L: int, C: int, D: int) -> int:
+    """Batch elements per grid cell. Larger BB amortizes per-cell pipeline
+    overhead; the ~100 MB raised VMEM budget bounds it (measured ~6.6 MB
+    VMEM per element at Charades scale + ~13 MB resident weights)."""
+    import os
+
+    force = os.environ.get("VML_SMIN_BB")
+    if force:
+        return int(force)
     N = L * (L + 1) // 2
-    per_elem = 2 * N * C * D * 2 + 6 * N * D
-    for bb in (4, 2, 1):
-        if B % bb == 0 and bb * per_elem <= 6_500_000:
+    per_elem = 2 * N * C * D * 2 + 6 * N * D  # ~40% of true peak; x2.5 below
+    for bb in (8, 4, 2, 1):
+        if B % bb == 0 and int(2.5 * bb * per_elem) <= 80_000_000:
             return bb
     return 1
 

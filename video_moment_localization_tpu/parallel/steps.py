@@ -22,6 +22,7 @@ import optax
 
 from video_moment_localization_tpu.config import ModelConfig
 from video_moment_localization_tpu.models import smin_forward
+from video_moment_localization_tpu.models.smin import smin_forward_inference
 from video_moment_localization_tpu.train.loss import smin_loss
 from video_moment_localization_tpu.train.metrics import (
     recall_counts,
@@ -84,7 +85,9 @@ def make_eval_step(
     """Returns jitted (params, batch) -> metrics (loss + recall counts)."""
 
     def eval_step(params, batch: Batch):
-        outputs = _forward(params, cfg, batch)
+        # Grad-free: route through the fused SMI-stack kernel when supported.
+        outputs = smin_forward_inference(
+            params, cfg, *(batch.get(k) for k in _FORWARD_KEYS))
         loss, aux = smin_loss(outputs, batch)
         return _step_metrics(outputs, loss, aux, batch, use_nms, nms_sigma)
 
