@@ -343,6 +343,7 @@ def boundary_unit_packed(p: Params, f_b, f_w, f_s, f_m, query_mask,
     (ops/packing.py `rowsum_packed`); lower-triangle terms were zero anyway.
     """
     from video_moment_localization_tpu.ops.packing import (
+        gather_cols,
         rowsum_packed,
         triu_packing,
     )
@@ -364,7 +365,7 @@ def boundary_unit_packed(p: Params, f_b, f_w, f_s, f_m, query_mask,
         fbar = moment_gate(f_m, f_s)                            # (B, N, D)
     pk = triu_packing(L)
     B = A_b.shape[0]
-    A_b_packed = jnp.take(A_b.reshape(B, L * L), jnp.asarray(pk.flat_idx), axis=1)
+    A_b_packed = gather_cols(A_b.reshape(B, L * L), pk.flat_idx, L * L)
     f_bm = rowsum_packed(A_b_packed[..., None] * fbar, L)       # (B, L, D)
     return f_bb + f_b + f_bm
 

@@ -77,8 +77,30 @@ def packed_valid_mask(length_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_rows(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
-    """(B, L, D) -> (B, N, D) gathered at static per-pair indices."""
-    return jnp.take(x, jnp.asarray(idx), axis=1)
+    """(B, L, D) -> (B, N, D) gathered at static per-pair indices.
+
+    Lowered as a one-hot matmul rather than jnp.take: the gather's VJP is a
+    scatter-add (serialized on TPU), while the matmul transposes into
+    another matmul — and the forward rides the MXU too (measured faster at
+    serving batch in the moment unit).
+    """
+    onehot = _gather_onehot(x.shape[1], idx.tobytes(), len(idx))
+    return jnp.einsum("nl,bld->bnd", jnp.asarray(onehot).astype(x.dtype), x)
+
+
+@lru_cache(maxsize=None)
+def _gather_onehot(L: int, idx_bytes: bytes, n: int) -> np.ndarray:
+    idx = np.frombuffer(idx_bytes, dtype=np.int32, count=n)
+    onehot = np.zeros((n, L), np.float32)
+    onehot[np.arange(n), idx] = 1.0
+    return onehot
+
+
+def gather_cols(x: jnp.ndarray, idx: np.ndarray, F: int) -> jnp.ndarray:
+    """(B, F) -> (B, N) static column gather as a one-hot matmul (same
+    scatter-free-VJP rationale as gather_rows)."""
+    onehot = _gather_onehot(F, idx.tobytes(), len(idx))
+    return jnp.einsum("nf,bf->bn", jnp.asarray(onehot).astype(x.dtype), x)
 
 
 def rowsum_packed(x: jnp.ndarray, L: int) -> jnp.ndarray:

@@ -92,6 +92,22 @@ def _geometry(T: int, L: int, C: int):
     return wc, wb, sel_i, sel_j, pk.row_onehot  # row_onehot = Rsum (L, N)
 
 
+@functools.lru_cache(maxsize=None)
+def _geometry_bb(T: int, L: int, C: int, BB: int):
+    """BB-expanded static matrices: per-element one-hot gathers become
+    block-diagonal (kron with I_BB) so one matmul serves all BB elements —
+    the BB^2 zero-block FLOPs are noise next to the serialized small-matmul
+    loops they replace (measured: loops dominated kernel v1's runtime)."""
+    wc, wb, sel_i, sel_j, rsum = _geometry(T, L, C)
+    eye = np.eye(BB, dtype=np.float32)
+    return (
+        wc, wb,
+        np.kron(eye, sel_i),      # (BB*N, BB*L)
+        np.kron(eye, sel_j),
+        np.kron(eye, rsum),       # (BB*L, BB*N)
+    )
+
+
 def supports(cfg_or_L, C: int | None = None, D: int | None = None) -> bool:
     """VMEM feasibility: 2 (BB*NC, D) bf16 buffers + per-layer weights must
     fit the ~16 MB budget at BB >= 1."""
@@ -121,17 +137,21 @@ def _pick_bb(B: int, L: int, C: int, D: int) -> int:
     return 1
 
 
-def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
+def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
             mcol_ref, wc_ref, wb_ref, seli_ref, selj_ref, rsum_ref,
             cw_ref, cb_ref, bw_ref, bb_ref, mw_ref, mb_ref, hw_ref, hb_ref,
             pm_ref, pb_ref, *, BB: int, T: int, L: int, C: int, N: int,
-            Nq: int, D: int, dl: int, n_layers: int):
+            Nq: int, D: int, dl: int, n_layers: int, ablate: str = ""):
     """One grid cell: BB batch elements through the full SMIN interior.
 
-    Stacked weight layout (built in `_stack_weights`):
-      cw (n_layers, D + dl + ... ) content mats, cb content biases
-      bw boundary attention mats, mw moment conv mats, hw (D, 4+1) heads —
-    see _stack_weights for exact slicing; biases ride in f32.
+    All per-element ops are batched across BB with block-diagonal masking
+    (attention logits masked to each element's own block; one-hot gathers
+    kron-expanded) — v1's per-element small-matmul loops serialized ~400
+    tiny VPU/MXU ops per cell and dominated its runtime.
+
+    Stacked weight layout (built in `_stack_weights`): cw/cb content
+    mats+biases, bw/bb boundary attention, mw/mb moment convs, hw/hb heads —
+    all row-stacked (every kernel slice at lane offset 0).
     """
     f32 = jnp.float32
     w = f_ref.dtype
@@ -139,8 +159,8 @@ def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
     inv_sd = 1.0 / math.sqrt(D)
     inv_sdl = 1.0 / math.sqrt(dl)
 
-    qmask = qmask_ref[:].astype(f32)                     # (BB, 1, Nq) lanes
-    lmask = lmask_ref[:].astype(f32)                     # (BB, 1, L) lanes
+    qflat = qflat_ref[:].reshape(1, BB * Nq).astype(f32)  # lanes, all elems
+    lflat = lflat_ref[:].reshape(1, BB * L).astype(f32)
     mcol = mcol_ref[:].reshape(BB * NC, 1).astype(f32)   # (BB, NC, 1) in
     # row-mask layouts arrive as separate (rows, 1) inputs: deriving them
     # from the lane layouts would need lane->sublane shape casts, which
@@ -150,6 +170,18 @@ def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
 
     fw_rows = fw_ref[:].reshape(BB * Nq, D)              # (BB*Nq, D) bf16
     fs_rows = fs_ref[:].reshape(BB, D)                   # (BB, D) bf16
+
+    # Static block-diagonal keep-masks (hoisted out of the layer loop):
+    # row element id must equal column element id, and the column must be a
+    # valid token/snippet of that element.
+    def block_keep(rows, rdiv, cols, cdiv, col_valid):
+        r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // rdiv
+        c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // cdiv
+        return jnp.logical_and(r_id == c_id, col_valid > 0)
+
+    qkeep_nc = block_keep(BB * NC, NC, BB * Nq, Nq, qflat)   # content attn
+    qkeep_l = block_keep(BB * L, L, BB * Nq, Nq, qflat)      # boundary attn
+    lkeep = block_keep(BB * L, L, BB * L, L, lflat)          # A_b
 
     # ---------------- proposal pooling (all static matmuls) -------------- #
     wc = wc_ref[:]                                       # (NC, T) bf16
@@ -174,9 +206,9 @@ def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
 
     fm = (mean_over_c(fc) * mrow).astype(w)                     # (BB*N, D)
 
-    sel_i = seli_ref[:]                                  # (N, L) bf16
+    sel_i = seli_ref[:]                                  # (BB*N, BB*L) bf16
     sel_j = selj_ref[:]
-    rsum = rsum_ref[:]                                   # (L, N)
+    rsum = rsum_ref[:]                                   # (BB*L, BB*N)
 
     for layer in range(n_layers):
         cw = cw_ref[layer]
@@ -211,60 +243,63 @@ def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
         attn_k_b = cb[4:5, 0:dl]
         c_out_b = cb[5:6, 0:D]
 
+        # NB: intermediate mask multiplies are dropped relative to the XLA
+        # path: inside a pair the C rows share validity and no op mixes
+        # pairs, so masking once at `cu` is equivalent for every valid
+        # output (invalid rows carry finite bias-derived garbage). Padding
+        # word tokens are excluded by the attention mask, so masking fwh
+        # itself is also redundant.
         h32 = (jnp.dot(fc, c_hat_w, preferred_element_type=f32)
-               + c_hat_b) * mcol                         # (BB*NC, dl) f32
+               + c_hat_b)                                # (BB*NC, dl) f32
         h = h32.astype(w)
 
-        qm_cols = qrow_ref[:].reshape(BB * Nq, 1).astype(f32)
-        fwh32 = (jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32)
-                 + w_hat_b) * qm_cols                    # (BB*Nq, dl)
+        fwh32 = jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32) + w_hat_b
         fwh = fwh32.astype(w)
         khat = (jnp.dot(fwh, attn_k_w, preferred_element_type=f32)
                 + attn_k_b).astype(w)                    # (BB*Nq, dl)
         fsh = (jnp.dot(fs_rows, s_hat_w, preferred_element_type=f32)
                + s_hat_b)                                # (BB, dl) f32
 
-        q = (jnp.dot(h, attn_q_w, preferred_element_type=f32)
-             + attn_q_b).astype(w)                       # (BB*NC, dl)
-        caq_parts = []
-        for b in range(BB):
+        if "noattn" in ablate:
+            f_caq = h32
+        else:
+            q = (jnp.dot(h, attn_q_w, preferred_element_type=f32)
+                 + attn_q_b).astype(w)                   # (BB*NC, dl)
             logits = jax.lax.dot_general(
-                q[b * NC : (b + 1) * NC], khat[b * Nq : (b + 1) * Nq],
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                q, khat, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
-            ) * inv_sdl                                  # (NC, Nq)
-            logits = jnp.where(qmask[b] > 0, logits, _NEG_INF)
+            ) * inv_sdl                                  # (BB*NC, BB*Nq)
+            logits = jnp.where(qkeep_nc, logits, _NEG_INF)
             attn = jax.nn.softmax(logits, axis=-1).astype(w)
-            caq_parts.append(
-                jnp.dot(attn, fwh[b * Nq : (b + 1) * Nq],
-                        preferred_element_type=f32)
-            )
-        f_caq = jnp.concatenate(caq_parts, axis=0) * mcol       # (BB*NC, dl)
+            f_caq = jnp.dot(attn, fwh, preferred_element_type=f32)
 
         f_cq32 = h32 * (f_caq.reshape(BB, NC, dl)
                         + fsh[:, None, :]).reshape(BB * NC, dl)
 
-        # intra-moment C x C clip attention on the VPU (static per-offset
-        # reductions — same trick as ops/content_pallas.py v2)
-        g = f_cq32.reshape(BB * N, C, dl)
-        hh = h32.reshape(BB * N, C, dl)
-        sim_cols = [
-            jnp.sum(g * g[:, e : e + 1, :], axis=-1).reshape(BB * NC, 1)
-            for e in range(C)
-        ]
-        sim = jnp.concatenate(sim_cols, axis=1) * inv_sdl       # (BB*NC, C)
-        a = jax.nn.softmax(sim, axis=-1) * mcol
-        acc = jnp.zeros((BB * N, C, dl), f32)
-        for e in range(C):
-            a_e = a[:, e : e + 1].reshape(BB * N, C, 1)
-            acc = acc + a_e * hh[:, e : e + 1, :]
-        f_cc_hat = acc.reshape(BB * NC, dl).astype(w)
+        if "nocc" in ablate:
+            f_cc_hat = f_cq32.astype(w)
+        else:
+            # intra-moment C x C clip attention on the VPU (static per-offset
+            # reductions — same trick as ops/content_pallas.py v2)
+            g = f_cq32.reshape(BB * N, C, dl)
+            hh = h32.reshape(BB * N, C, dl)
+            sim_cols = [
+                jnp.sum(g * g[:, e : e + 1, :], axis=-1).reshape(BB * NC, 1)
+                for e in range(C)
+            ]
+            sim = jnp.concatenate(sim_cols, axis=1) * inv_sdl   # (BB*NC, C)
+            a = jax.nn.softmax(sim, axis=-1)
+            acc = jnp.zeros((BB * N, C, dl), f32)
+            for e in range(C):
+                a_e = a[:, e : e + 1].reshape(BB * N, C, 1)
+                acc = acc + a_e * hh[:, e : e + 1, :]
+            f_cc_hat = acc.reshape(BB * NC, dl).astype(w)
 
-        f_cc = (jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32)
-                + c_out_b) * mcol                        # (BB*NC, D) f32
-        cu = (f_cc.astype(w).reshape(BB * N, C, D)
-              + fc.reshape(BB * N, C, D)
-              + fbar.reshape(BB * N, 1, D)).reshape(BB * NC, D)
+        f_cc = jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32) + c_out_b
+        cu = ((f_cc.astype(w).reshape(BB * N, C, D)
+               + fc.reshape(BB * N, C, D)
+               + fbar.reshape(BB * N, 1, D)).reshape(BB * NC, D)
+              * mcol.astype(w))
 
         # ---------------- BoundaryUnit ---------------- #
         # bwm = [attn_q (D, D) | attn_k (D, D)] stacked on rows
@@ -273,42 +308,42 @@ def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
         b_q_b = bbv[0:1, :]
         b_k_b = bbv[1:2, :]
 
+        if "nobu" in ablate:
+            bu = f_b
+        else:
+            bu = None
         bq_all = (jnp.dot(f_b, b_q_w, preferred_element_type=f32)
                   + b_q_b).astype(w)                     # (BB*L, D)
         bk_all = (jnp.dot(fw_rows, b_k_w, preferred_element_type=f32)
                   + b_k_b).astype(w)                     # (BB*Nq, D)
-        bu_parts = []
-        for b in range(BB):
-            fb_el = f_b[b * L : (b + 1) * L]             # (L, D)
-            lm_el = lmask[b]                             # (1, L)
-            lcol = lm_el.reshape(L, 1)
-            logits = jax.lax.dot_general(
-                bq_all[b * L : (b + 1) * L], bk_all[b * Nq : (b + 1) * Nq],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            ) * inv_sd                                   # (L, Nq)
-            logits = jnp.where(qmask[b] > 0, logits, _NEG_INF)
-            f_baq = jnp.dot(jax.nn.softmax(logits, axis=-1).astype(w),
-                            fw_rows[b * Nq : (b + 1) * Nq],
-                            preferred_element_type=f32) * lcol
-            f_bq = (fb_el.astype(f32)
-                    * (f_baq + fs_rows[b].astype(f32)[None, :])).astype(w)
-            ab_log = jax.lax.dot_general(
-                f_bq, f_bq, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            ) * inv_sd                                   # (L, L)
-            ab_log = jnp.where(lm_el > 0, ab_log, _NEG_INF)
-            A_b = jax.nn.softmax(ab_log, axis=-1) * lcol
-            A_bw = A_b.astype(w)
-            f_bb = jnp.dot(A_bw, fb_el, preferred_element_type=f32) * lcol
-            # pair gather A_bp[n] = A_b[i_n, j_n]
-            rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32)  # (N, L)
-            A_bp = jnp.sum(rows_i * sel_j.astype(f32), axis=-1,
-                           keepdims=True)                # (N, 1)
-            msg = (A_bp * fbar32[b * N : (b + 1) * N]).astype(w)
-            f_bm = jnp.dot(rsum, msg, preferred_element_type=f32)  # (L, D)
-            bu_parts.append(f_bb + fb_el.astype(f32) + f_bm)
-        bu = jnp.concatenate(bu_parts, axis=0).astype(w)          # (BB*L, D)
+        blog = jax.lax.dot_general(
+            bq_all, bk_all, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * inv_sd                                       # (BB*L, BB*Nq)
+        blog = jnp.where(qkeep_l, blog, _NEG_INF)
+        f_baq = jnp.dot(jax.nn.softmax(blog, axis=-1).astype(w), fw_rows,
+                        preferred_element_type=f32)               # (BB*L, D)
+        f_bq = (f_b.astype(f32).reshape(BB, L, D)
+                * (f_baq.reshape(BB, L, D)
+                   + fs_rows.astype(f32)[:, None, :])
+                ).reshape(BB * L, D).astype(w)
+        ab_log = jax.lax.dot_general(
+            f_bq, f_bq, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * inv_sd                                       # (BB*L, BB*L)
+        ab_log = jnp.where(lkeep, ab_log, _NEG_INF)
+        A_b = jax.nn.softmax(ab_log, axis=-1) * lrow     # cross blocks -> 0
+        A_bw = A_b.astype(w)
+        f_bb = jnp.dot(A_bw, f_b, preferred_element_type=f32) * lrow
+        # pair gather A_bp[n, b] = A_b[(b, i_n), (b, j_n)] via the kron'd
+        # one-hots: one matmul + a lane reduction, no 2-D gather.
+        rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32)
+        A_bp = jnp.sum(rows_i * sel_j.astype(f32), axis=-1,
+                       keepdims=True)                    # (BB*N, 1)
+        msg = (A_bp * fbar32).astype(w)                  # (BB*N, D)
+        f_bm = jnp.dot(rsum, msg, preferred_element_type=f32)     # (BB*L, D)
+        if bu is None:
+            bu = (f_bb + f_b.astype(f32) + f_bm).astype(w)        # (BB*L, D)
 
         # ---------------- MomentUnit ---------------- #
         # mwm = [conv_fb (D, D) | conv_fc (D, D)] stacked on rows
@@ -316,20 +351,13 @@ def _kernel(f_ref, fw_ref, fs_ref, qmask_ref, qrow_ref, lmask_ref, lrow_ref,
         m_fc_w = mwm[D : 2 * D, :]
         m_fb_b = mbv[0:1, :]
         m_fc_b = mbv[1:2, :]
-        outer_parts = []
-        for b in range(BB):
-            fb_el = bu[b * L : (b + 1) * L]
-            outer_parts.append(
-                jnp.dot(sel_i, fb_el, preferred_element_type=f32)
-                * jnp.dot(sel_j, fb_el, preferred_element_type=f32)
-            )
-        outer = jnp.concatenate(outer_parts, axis=0).astype(w)    # (BB*N, D)
-        conv_fb = (jnp.dot(outer, m_fb_w, preferred_element_type=f32)
-                   + m_fb_b) * mrow
+        outer = (jnp.dot(sel_i, bu, preferred_element_type=f32)
+                 * jnp.dot(sel_j, bu, preferred_element_type=f32)
+                 ).astype(w)                             # (BB*N, D)
+        conv_fb = jnp.dot(outer, m_fb_w, preferred_element_type=f32) + m_fb_b
         cu_mean = mean_over_c(cu).astype(w)
-        conv_fc = (jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32)
-                   + m_fc_b) * mrow
-        mu = (conv_fb + conv_fc + fm.astype(f32)).astype(w)
+        conv_fc = jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32) + m_fc_b
+        mu = (((conv_fb + conv_fc) * mrow) + fm.astype(f32)).astype(w)
 
         fc, fm, f_b = cu, mu, bu
 
@@ -421,17 +449,20 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
     f32 = jnp.float32
 
     BB = _pick_bb(B, L, C, D)
-    wc, wb, sel_i, sel_j, rsum = _geometry(T, L, C)
+    wc, wb, sel_i, sel_j, rsum = _geometry_bb(T, L, C, BB)
 
     mcol = jnp.repeat(vmask.astype(f32), C, axis=1)[..., None]   # (B, NC, 1)
-    qm = query_mask[..., 0][:, None, :].astype(f32)      # (B, 1, Nq)
-    lm = length_mask[:, None, :].astype(f32)             # (B, 1, L)
+    # Per-cell flattened masks: the BB elements' tokens/snippets along
+    # lanes, for the block-diagonal attention masking.
+    qflat = query_mask[..., 0].astype(f32).reshape(B // BB, 1, BB * Nq)
+    lflat = length_mask.astype(f32).reshape(B // BB, 1, BB * L)
 
     stacked = _stack_weights(params, D, dl, dtype)
 
     kernel = functools.partial(
         _kernel, BB=BB, T=T, L=L, C=C, N=N, Nq=Nq, D=D, dl=dl,
         n_layers=n_layers,
+        ablate=__import__("os").environ.get("VML_SMIN_ABLATE", ""),
     )
     per_b = lambda i: (i, 0, 0)   # noqa: E731
     const2 = lambda i: (0, 0)     # noqa: E731
@@ -450,16 +481,16 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
             pl.BlockSpec((BB, T, D), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, Nq, D), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 1, D), per_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1, Nq), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB * Nq), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, Nq, 1), per_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1, L), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB * L), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, L, 1), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, NC, 1), per_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((NC, T), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, T), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, L), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, L), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, N), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB * N, BB * L), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB * N, BB * L), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB * L, BB * N), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_layers, 3 * D + 3 * dl, max(dl, D)), const3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_layers, 6, max(dl, D)), const3,
@@ -486,6 +517,7 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
             # state) is VMEM-resident by design; the 16 MB default scoped
             # limit is far below the v5e's physical 128 MB.
             vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=B * flops_el,
@@ -495,7 +527,7 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
         ),
         interpret=interpret,
     )(
-        f, fw, fs[:, None, :], qm, query_mask.astype(f32), lm,
+        f, fw, fs[:, None, :], qflat, query_mask.astype(f32), lflat,
         length_mask[..., None].astype(f32), mcol,
         jnp.asarray(wc, dtype), jnp.asarray(wb, dtype),
         jnp.asarray(sel_i, dtype), jnp.asarray(sel_j, dtype),
