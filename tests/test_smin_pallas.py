@@ -87,6 +87,23 @@ def test_fused_stack_single_layer_and_bb1():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_fused_stack_tacos_shape_paths():
+    """L=32 / Nq=14 / uneven masks — the other supported production scale
+    (shrunk D for CPU interpret speed; geometry/indexing paths identical)."""
+    cfg = dataclasses.replace(CFG, T=128, L=32, C=4, D=96, dl=32,
+                              lstm_hidden_size=48,
+                              max_query_length=14, num_smi_layers=2)
+    params = init_smin_params(jax.random.PRNGKey(5), cfg)
+    f, fw, fs, qmask, lmask = _inputs(cfg, B=2, seed=4)
+    vmask = packed_valid_mask(lmask)
+    want = _xla_reference(params, cfg, f, fw, fs, qmask, lmask)
+    got = smin_stack_fused(params, cfg, f, fw, fs, qmask, lmask, vmask,
+                           interpret=True)
+    for g, w_, name in zip(got, want, ("pm", "ps", "pe", "pa")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_fused_stack_bf16_close():
     params = init_smin_params(jax.random.PRNGKey(11), CFG)
     f, fw, fs, qmask, lmask = _inputs(CFG, B=4, seed=3)
