@@ -517,10 +517,14 @@ def smin_forward_inference(
     but routes the SMIN interior through the fused VMEM-resident SMI-stack
     kernel (ops/smin_pallas.py) when supported — measured 1.5x end-to-end
     over the packed XLA path at the flagship serving batch. Falls back to
-    `smin_forward` off-TPU, at unsupported scales (ActivityNet L=64), or in
-    compat/dense modes. Not differentiable through the kernel path — use
-    `smin_forward` for training."""
-    if cfg.packed and not cfg.compat_head and cfg.fused_smi:
+    `smin_forward` off-TPU, at unsupported scales (ActivityNet L=64), in
+    compat/dense modes, or at fp32 (fp32 is the parity-exact mode — the
+    kernel's op grouping diverges from XLA's at DEFAULT MXU precision;
+    bf16, the production dtype, agrees at bf16 noise level). Not
+    differentiable through the kernel path — use `smin_forward` for
+    training."""
+    if (cfg.packed and not cfg.compat_head and cfg.fused_smi
+            and cfg.compute_dtype == "bfloat16"):
         from video_moment_localization_tpu.ops import smin_pallas
         from video_moment_localization_tpu.ops.proposal import _on_tpu
 
