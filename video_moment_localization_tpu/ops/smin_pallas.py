@@ -132,7 +132,12 @@ def _pick_bb(B: int, L: int, C: int, D: int) -> int:
     N = L * (L + 1) // 2
     per_elem = 2 * N * C * D * 2 + 6 * N * D  # ~40% of true peak; x2.5 below
     for bb in (8, 4, 2, 1):
-        if B % bb == 0 and int(2.5 * bb * per_elem) <= 80_000_000:
+        # Row cap: Mosaic compile memory explodes past ~4.4k-row cells with
+        # the 3-layer unrolled body (the TACoS BB=4 = 8.4k-row program got
+        # the compile helper OOM-killed); 4352 rows (Charades BB=8) is the
+        # proven ceiling.
+        if (B % bb == 0 and int(2.5 * bb * per_elem) <= 80_000_000
+                and bb * N * C <= 4400):
             return bb
     return 1
 
