@@ -37,6 +37,16 @@ import time
 import jax
 import numpy as np
 
+# Persistent compilation cache: the fused serving kernel's compile through
+# the remote tunnel is slow (tens of minutes); cache hits make re-runs
+# (e.g. the driver's end-of-round bench) near-instant where the runtime
+# honors the cache. Harmless no-op otherwise.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
 # Serving batch 6144 fills HBM to ~80% (8192 OOMs at 17.3/15.75 GB) and
