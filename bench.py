@@ -18,29 +18,49 @@ Measures the flagship Charades-STA-scale SMIN (T=64, L=16, C=4, D=512,
 * **MFU**: measured matmul-FLOP rate (utils/flops.py, analytic) over the
   chip's peak — the roofline context VERDICT r1 asked for.
 
+Structure (round-3 VERDICT item 1 — the bench must emit a number
+unconditionally, within the driver budget):
+
+1. phase A measures the packed **XLA** serving path first (compiles in
+   seconds) plus the train chain and a soft-NMS-on serving variant —
+   after this a complete JSON line is guaranteed;
+2. phase B attempts the **fused SMI-stack kernel** upgrade in a
+   subprocess under an explicit timeout (``VML_BENCH_FUSED_TIMEOUT``,
+   default = remaining budget); its number replaces the serving value
+   only if the subprocess finishes and is faster;
+3. a SIGTERM/SIGINT handler prints the best-so-far JSON, so even an
+   external `timeout` kill records phase A's numbers.
+
+Scope note (recorded in the JSON too): weights are randomly initialized
+and inputs synthetic — this measures compute throughput, not accuracy;
+the primary serving number is NMS-off (the reference has no NMS,
+utils.py:14); `serving_nms_pairs_per_sec` prices in soft-NMS top-k.
+
 Baseline: the PyTorch reference measured in this environment on CPU
 (1 vCPU, torch 2.x single thread): 9.94 pairs/s at the same model shapes
-with batch 64 (forward + compute_ious, eval mode). NOTE (recorded in the
-JSON too): the baseline batch is 64 while the TPU serving batch is 4096 —
-the CPU reference is compute-bound and gains nothing from larger batches,
-the TPU number uses a serving-style batch to fill the chip.
+with batch 64 (forward + compute_ious, eval mode). The CPU reference is
+compute-bound and gains nothing from larger batches; the TPU number uses
+a serving-style batch to fill the chip.
 
 Prints exactly one JSON line.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import jax
 import numpy as np
 
-# Persistent compilation cache: the fused serving kernel's compile through
-# the remote tunnel is slow (tens of minutes); cache hits make re-runs
-# (e.g. the driver's end-of-round bench) near-instant where the runtime
-# honors the cache. Harmless no-op otherwise.
+# Persistent compilation cache: phase B's fused-kernel compile is the slow
+# part (minutes cold); cache hits make re-runs (e.g. the driver's
+# end-of-round bench after an in-round pre-warm) near-instant.
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -55,10 +75,21 @@ B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
 B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 256))
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 WALL_ITERS = 8
+# Wall-clock ceiling for the whole bench; phase B gets what is left.
+BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 840))
+_T0 = time.perf_counter()
 
 # Peak matmul throughput for MFU context. TPU v5e: ~197 TFLOP/s bf16.
 # Override with VML_PEAK_FLOPS for other chips.
 PEAK_FLOPS = float(os.environ.get("VML_PEAK_FLOPS", 197e12))
+
+_RESULT: dict | None = None  # best-so-far, printed by the signal handler
+
+
+def _emit_and_exit(signum=None, frame=None):
+    if _RESULT is not None:
+        print(json.dumps(_RESULT), flush=True)
+    os._exit(0 if _RESULT is not None else 1)
 
 
 def _timed_fetch(fn, *args):
@@ -72,40 +103,32 @@ def _timed_fetch(fn, *args):
     return best
 
 
-def main() -> None:
-    from __graft_entry__ import _charades_cfg, _synthetic_arrays
-    from video_moment_localization_tpu.models import init_smin_params, smin_forward
-    from video_moment_localization_tpu.models.smin import smin_forward_inference
-    from video_moment_localization_tpu.train.loss import smin_loss
-    from video_moment_localization_tpu.train.metrics import (
-        recall_counts,
-        recall_counts_packed,
-    )
-    from video_moment_localization_tpu.utils.flops import (
-        smin_forward_flops,
-        smin_train_step_flops,
-    )
+def _setup(cfg):
+    from __graft_entry__ import _synthetic_arrays
+    from video_moment_localization_tpu.models import init_smin_params
 
-    cfg = _charades_cfg()
     params = init_smin_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    on_tpu = jax.default_backend().startswith(("tpu", "axon"))
-
-    # ---------------- serving ---------------- #
     vf, vm, qf, qm, lm, mm = _synthetic_arrays(cfg, B=B_SERVE)
     N = cfg.L * (cfg.L + 1) // 2
     sm_shape = (B_SERVE, N) if cfg.packed else (B_SERVE, cfg.L, cfg.L)
     sm = jax.numpy.asarray(rng.uniform(0, 1, sm_shape).astype(np.float32))
+    return params, (vf, vm, qf, qm, lm, mm), sm
+
+
+def _make_score_chain(cfg, use_nms: bool = False):
+    from video_moment_localization_tpu.models.smin import smin_forward_inference
+    from video_moment_localization_tpu.train.metrics import (
+        recall_counts,
+        recall_counts_packed,
+    )
 
     def score_batch(params, vf, vm, qf, qm, lm, mm, sm):
-        # Serving path: fused SMI-stack kernel on TPU (XLA fallback inside).
         pm, ps, pe, _ = smin_forward_inference(params, cfg, vf, vm, qf, qm,
                                                lm, mm)
         if cfg.packed:
-            return recall_counts_packed(pm, ps, pe, lm, sm)
-        return recall_counts(pm, ps, pe, mm, sm)
-
-    score_jit = jax.jit(score_batch)
+            return recall_counts_packed(pm, ps, pe, lm, sm, use_nms=use_nms)
+        return recall_counts(pm, ps, pe, mm, sm, use_nms=use_nms)
 
     @jax.jit
     def score_chain(params, vf, vm, qf, qm, lm, mm, sm):
@@ -120,26 +143,106 @@ def main() -> None:
                                  length=K_CHAIN)
         return counts[-1]
 
-    np.asarray(score_jit(params, vf, vm, qf, qm, lm, mm, sm))  # compile
-    np.asarray(score_chain(params, vf, vm, qf, qm, lm, mm, sm))
+    return jax.jit(score_batch), score_chain
 
-    chain_dt = _timed_fetch(score_chain, params, vf, vm, qf, qm, lm, mm, sm)
-    onchip_pairs = K_CHAIN * B_SERVE / chain_dt
 
-    best_wall = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(WALL_ITERS):
-            np.asarray(score_jit(params, vf, vm, qf, qm, lm, mm, sm))
-        best_wall = min(best_wall, time.perf_counter() - t0)
-    wall_pairs = WALL_ITERS * B_SERVE / best_wall
+def _measure_serving(cfg, params, arrays, sm, wall: bool = True):
+    score_jit, score_chain = _make_score_chain(cfg)
+    args = (params, *arrays, sm)
+    np.asarray(score_chain(*args))  # compile + first run
+    chain_dt = _timed_fetch(score_chain, *args)
+    onchip = K_CHAIN * B_SERVE / chain_dt
 
+    wall_pairs = None
+    if wall:
+        np.asarray(score_jit(*args))
+        best_wall = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(WALL_ITERS):
+                np.asarray(score_jit(*args))
+            best_wall = min(best_wall, time.perf_counter() - t0)
+        wall_pairs = WALL_ITERS * B_SERVE / best_wall
+    return onchip, wall_pairs, chain_dt
+
+
+def _fused_probe() -> None:
+    """Subprocess mode: measure the fused-kernel serving path, print JSON."""
+    from __graft_entry__ import _charades_cfg
+
+    cfg = _charades_cfg()  # fused_smi=True default
+    params, arrays, sm = _setup(cfg)
+    onchip, wall_pairs, chain_dt = _measure_serving(cfg, params, arrays, sm)
+    print(json.dumps({"phase": "fused", "onchip_pairs": onchip,
+                      "wall_pairs": wall_pairs, "chain_dt": chain_dt}),
+          flush=True)
+
+
+def main() -> None:
+    global _RESULT
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+
+    from __graft_entry__ import _charades_cfg
+    from video_moment_localization_tpu.models import smin_forward
+    from video_moment_localization_tpu.train.loss import smin_loss
+    from video_moment_localization_tpu.utils.flops import (
+        smin_forward_flops,
+        smin_train_step_flops,
+    )
+
+    cfg = _charades_cfg()
+    xla_cfg = dataclasses.replace(cfg, fused_smi=False)
+    on_tpu = jax.default_backend().startswith(("tpu", "axon"))
+
+    # ---------------- phase A: XLA serving path (fast compile) ----------- #
+    params, arrays, sm = _setup(xla_cfg)
+    onchip_pairs, wall_pairs, chain_dt = _measure_serving(
+        xla_cfg, params, arrays, sm)
     serve_flops = smin_forward_flops(cfg, B_SERVE)
     serving_mfu = serve_flops * K_CHAIN / chain_dt / PEAK_FLOPS
 
-    # ---------------- training ---------------- #
+    note = ("on-chip value from a K={k} in-jit chained scan (no transport); "
+            "wall_pairs_per_sec includes per-call transport RTT; random "
+            "weights + synthetic inputs (throughput only, not accuracy); "
+            "primary serving number is NMS-OFF like the reference "
+            "(utils.py:14), serving_nms_pairs_per_sec adds soft-NMS; "
+            "baseline torch-CPU uses batch 64 (compute-bound, "
+            "batch-insensitive) vs serving batch {bs} here; MFU vs "
+            "{pk:.0f} TFLOP/s peak (bf16)").format(
+                k=K_CHAIN, bs=B_SERVE, pk=PEAK_FLOPS / 1e12)
+
+    _RESULT = {
+        "metric": "query_video_pairs_scored_per_sec_per_chip",
+        "value": round(onchip_pairs, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(onchip_pairs / BASELINE_PAIRS_PER_SEC, 2),
+        "wall_pairs_per_sec": round(wall_pairs, 2),
+        "serving_mfu_pct": round(100 * serving_mfu, 2) if on_tpu else None,
+        "serving_batch": B_SERVE,
+        "train_batch": B_TRAIN,
+        "serving_path": "xla",
+        "note": note,
+    }
+
+    # ---------------- phase A': soft-NMS serving variant ----------------- #
+    try:
+        _, nms_chain = _make_score_chain(xla_cfg, use_nms=True)
+        args = (params, *arrays, sm)
+        np.asarray(nms_chain(*args))
+        nms_dt = _timed_fetch(nms_chain, *args)
+        _RESULT["serving_nms_pairs_per_sec"] = round(
+            K_CHAIN * B_SERVE / nms_dt, 2)
+    except Exception:
+        _RESULT["serving_nms_pairs_per_sec"] = None
+
+    # ---------------- phase A'': training ---------------- #
     import optax
 
+    from __graft_entry__ import _synthetic_arrays
+
+    N = cfg.L * (cfg.L + 1) // 2
+    rng = np.random.default_rng(1)
     tvf, tvm, tqf, tqm, tlm, tmm = _synthetic_arrays(cfg, B=B_TRAIN)
     tsm = rng.uniform(0, 1, (B_TRAIN, N)).astype(np.float32)
     batch = {
@@ -150,7 +253,8 @@ def main() -> None:
     }
     for k in ("ss", "ys", "se", "ye", "ya"):
         v = rng.uniform(0, 1, (B_TRAIN, cfg.L)).astype(np.float32)
-        batch[k] = jax.numpy.asarray(v if k in ("ss", "se") else (v > 0.5).astype(np.float32))
+        batch[k] = jax.numpy.asarray(
+            v if k in ("ss", "se") else (v > 0.5).astype(np.float32))
     batch["sample_mask"] = jax.numpy.ones(B_TRAIN, np.float32)
 
     optimizer = optax.adam(5e-4)
@@ -178,28 +282,47 @@ def main() -> None:
 
     np.asarray(train_chain(params, opt_state))  # compile
     train_dt = _timed_fetch(train_chain, params, opt_state)
-    train_samples = K_CHAIN * B_TRAIN / train_dt
     train_flops = smin_train_step_flops(cfg, B_TRAIN)
-    train_mfu = train_flops * K_CHAIN / train_dt / PEAK_FLOPS
+    _RESULT["train_samples_per_sec_per_chip"] = round(
+        K_CHAIN * B_TRAIN / train_dt, 2)
+    _RESULT["train_mfu_pct"] = (
+        round(100 * train_flops * K_CHAIN / train_dt / PEAK_FLOPS, 2)
+        if on_tpu else None)
 
-    print(json.dumps({
-        "metric": "query_video_pairs_scored_per_sec_per_chip",
-        "value": round(onchip_pairs, 2),
-        "unit": "pairs/s",
-        "vs_baseline": round(onchip_pairs / BASELINE_PAIRS_PER_SEC, 2),
-        "wall_pairs_per_sec": round(wall_pairs, 2),
-        "train_samples_per_sec_per_chip": round(train_samples, 2),
-        "serving_mfu_pct": round(100 * serving_mfu, 2) if on_tpu else None,
-        "train_mfu_pct": round(100 * train_mfu, 2) if on_tpu else None,
-        "serving_batch": B_SERVE,
-        "train_batch": B_TRAIN,
-        "note": (f"on-chip value from a K={K_CHAIN} in-jit chained scan (no "
-                 "transport); wall_pairs_per_sec includes per-call transport "
-                 "RTT; baseline torch-CPU uses batch 64 (compute-bound, "
-                 f"batch-insensitive) vs serving batch {B_SERVE} here; MFU vs "
-                 f"{PEAK_FLOPS / 1e12:.0f} TFLOP/s peak (bf16)"),
-    }))
+    # ---------------- phase B: fused-kernel upgrade (budgeted) ----------- #
+    remaining = BUDGET_S - (time.perf_counter() - _T0) - 20
+    probe_timeout = float(os.environ.get("VML_BENCH_FUSED_TIMEOUT", remaining))
+    if on_tpu and probe_timeout >= 60:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--fused-probe"],
+                capture_output=True, text=True, timeout=probe_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = next((ln for ln in reversed(proc.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if line:
+                probe = json.loads(line)
+                if probe["onchip_pairs"] > onchip_pairs:
+                    _RESULT.update({
+                        "value": round(probe["onchip_pairs"], 2),
+                        "vs_baseline": round(
+                            probe["onchip_pairs"] / BASELINE_PAIRS_PER_SEC, 2),
+                        "wall_pairs_per_sec": round(probe["wall_pairs"], 2),
+                        "serving_mfu_pct": round(
+                            100 * serve_flops * K_CHAIN / probe["chain_dt"]
+                            / PEAK_FLOPS, 2),
+                        "serving_path": "fused_smi_stack",
+                        "serving_xla_pairs_per_sec": round(onchip_pairs, 2),
+                    })
+        except (subprocess.TimeoutExpired, Exception):
+            _RESULT["serving_path"] = "xla (fused probe timed out)"
+
+    print(json.dumps(_RESULT))
 
 
 if __name__ == "__main__":
-    main()
+    if "--fused-probe" in sys.argv:
+        _fused_probe()
+    else:
+        main()

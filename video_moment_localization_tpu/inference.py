@@ -230,16 +230,21 @@ class AsyncLocalizer:
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._closed = False
+        # Guards the _closed check + enqueue so a submit racing close()
+        # cannot land behind the shutdown sentinel (its Future would never
+        # resolve and the caller would hang until timeout).
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------------ #
     def submit(self, clip_features: np.ndarray, query: str,
                duration: float) -> "Future[List[Moment]]":
-        if self._closed:
-            raise RuntimeError("AsyncLocalizer is closed")
         p = _Pending((clip_features, query, duration), Future())
-        self._queue.put(p)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("AsyncLocalizer is closed")
+            self._queue.put(p)
         return p.future
 
     def localize(self, clip_features: np.ndarray, query: str,
@@ -249,9 +254,12 @@ class AsyncLocalizer:
 
     def close(self) -> None:
         """Drain outstanding requests and stop the worker."""
-        if not self._closed:
-            self._closed = True
-            self._queue.put(None)
+        with self._lock:
+            already = self._closed
+            if not already:
+                self._closed = True
+                self._queue.put(None)
+        if not already:
             self._worker.join()
 
     def __enter__(self) -> "AsyncLocalizer":

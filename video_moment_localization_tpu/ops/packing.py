@@ -84,6 +84,7 @@ def gather_rows(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
     another matmul — and the forward rides the MXU too (measured faster at
     serving batch in the moment unit).
     """
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
     onehot = _gather_onehot(x.shape[1], idx.tobytes(), len(idx))
     return jnp.einsum("nl,bld->bnd", jnp.asarray(onehot).astype(x.dtype), x)
 
@@ -99,6 +100,7 @@ def _gather_onehot(L: int, idx_bytes: bytes, n: int) -> np.ndarray:
 def gather_cols(x: jnp.ndarray, idx: np.ndarray, F: int) -> jnp.ndarray:
     """(B, F) -> (B, N) static column gather as a one-hot matmul (same
     scatter-free-VJP rationale as gather_rows)."""
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
     onehot = _gather_onehot(F, idx.tobytes(), len(idx))
     return jnp.einsum("nf,bf->bn", jnp.asarray(onehot).astype(x.dtype), x)
 

@@ -33,6 +33,9 @@ from video_moment_localization_tpu.data.datasets import TENSOR_KEYS
 DATA_AXIS = "data"
 
 
+_distributed_initialized = False
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -42,20 +45,37 @@ def initialize_distributed(
 
     Configuration comes from the arguments or, when they are None, the
     standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID — also auto-detected by JAX on Cloud TPU VMs). Returns
-    True when running multi-process. Safe to call twice (second call is a
-    no-op). Single-host hardware (this environment) always returns False.
+    JAX_PROCESS_ID) or JAX's cluster auto-detection (Cloud TPU / SLURM /
+    GKE). Returns True when running multi-process. Safe to call twice
+    (second call is a no-op). Single-host hardware with no cluster config
+    (this environment) returns False.
+
+    `jax.distributed.initialize` must run before anything touches the XLA
+    backend, so this must be the process's first JAX-facing call — it is
+    tracked with a module flag rather than `jax.process_count()` (which
+    would itself initialize the backend and poison the real init).
     """
-    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and num_processes is None:
+    global _distributed_initialized
+    if _distributed_initialized:
         return jax.process_count() > 1
-    if jax.process_count() > 1:  # already initialized
-        return True
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    explicit = addr is not None or num_processes is not None
+    try:
+        if explicit:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()  # cluster auto-detection
+    except (ValueError, RuntimeError):
+        if explicit:
+            # Explicitly configured multi-process launch that cannot init
+            # (bad config, or JAX already used) must fail loudly.
+            raise
+        return False  # nothing auto-detected: ordinary single-process run
+    _distributed_initialized = True
     return jax.process_count() > 1
 
 
