@@ -140,10 +140,11 @@ def main() -> int:
             return localization_packed(_params["localization"], fm_, fb, lm,
                                        vmask, _cfg.L)
 
-        # The kernel serves the bf16 production path only (fp32 is the
-        # parity-exact XLA mode — models/smin.py smin_forward_inference);
-        # verify in bf16 with bulk + outlier bounds (3 recurrent bf16
-        # layers diverge slightly between any two op orderings).
+        # bf16 is the production path; verify with bulk + outlier bounds
+        # (3 recurrent bf16 layers diverge slightly between any two op
+        # orderings). fp32 activations run the kernel's HIGHEST-precision
+        # MXU mode (smin_pallas.py `prec`) and must track the fp32 XLA
+        # parity path tightly.
         bf = jnp.bfloat16
         args16 = (f.astype(bf), fw.astype(bf), fs.astype(bf), qm, lm)
         ref = jax.jit(xla_stack)(*args16)
@@ -158,6 +159,22 @@ def main() -> int:
                          and d.max() < 0.3)
         print(f"{'PASS' if stack_ok else 'FAIL'}  {name}: fused SMI stack (bf16)")
         ok &= stack_ok
+
+        args32 = (f, fw, fs, qm, lm)
+        ref32 = jax.jit(xla_stack)(*args32)
+        got32 = jax.jit(
+            lambda *a, _p=params, _c=cfg: smin_pallas.smin_stack_fused(
+                _p, _c, *a)
+        )(*args32, vm)
+        stack32_ok = True
+        report = []
+        for g, w_, nm in zip(got32, ref32, ("pm", "ps", "pe", "pa")):
+            d = np.abs(np.asarray(g, np.float64) - np.asarray(w_, np.float64))
+            report.append(f"{nm} max={d.max():.2e} p98={np.quantile(d, 0.98):.2e}")
+            stack32_ok &= bool(d.max() < 2e-3 and np.quantile(d, 0.98) < 2e-4)
+        print(f"{'PASS' if stack32_ok else 'FAIL'}  {name}: fused SMI stack "
+              f"(fp32 HIGHEST) [{'; '.join(report)}]")
+        ok &= stack32_ok
 
     print("ALL KERNELS VERIFIED" if ok else "KERNEL MISMATCH")
     return 0 if ok else 1

@@ -129,3 +129,26 @@ def test_full_forward_parity_with_reference():
     np.testing.assert_allclose(np.asarray(ps), ps_r.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pe), pe_r.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pa), pa_r.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_attention_weights_sink():
+    """Functional counterpart of reference models.py:150 (attn_weights):
+    the sink captures per-layer content + word attention weights of an
+    un-jitted forward, each a valid softmax over the query tokens."""
+    from video_moment_localization_tpu.models.smin import attention_weights_sink
+
+    params = init_smin_params(jax.random.PRNGKey(2), CFG)
+    batch = _batch(seed=5)
+    with attention_weights_sink() as sink:
+        smin_forward(params, CFG, *_forward_args(batch))
+    names = [n for n, _ in sink]
+    assert names.count("content") == CFG.num_smi_layers
+    assert names.count("word") == CFG.num_smi_layers
+    for _, w in sink:
+        w = np.asarray(w)
+        assert np.isfinite(w).all()
+        np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-5)
+
+    # Outside the context nothing is recorded (and the sink is restored).
+    smin_forward(params, CFG, *_forward_args(batch))
+    assert len(sink) == 2 * CFG.num_smi_layers

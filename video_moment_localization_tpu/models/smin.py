@@ -24,8 +24,9 @@ Parameter tree (torch-portable; see models/port.py):
 
 from __future__ import annotations
 
+import contextlib
 import math
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -155,6 +156,41 @@ def backbone(p: Params, cfg: ModelConfig, video_features, video_mask,
 # --------------------------------------------------------------------- #
 # Attention primitives
 # --------------------------------------------------------------------- #
+# Debug introspection: the reference's Attention module stores its last
+# softmax weights on `self.attn_weights` (reference models.py:150) for
+# interactive debugging. The functional counterpart is this sink: inside
+# `attention_weights_sink()` every attention primitive appends
+# (name, weights) in call order. Use with an UN-JITTED forward (call
+# `smin_forward` directly, no jax.jit) so the captured arrays are concrete;
+# under jit they would be tracers.
+_ATTN_SINK: Optional[list] = None
+
+
+@contextlib.contextmanager
+def attention_weights_sink():
+    """Capture attention weights of forward passes run inside the block.
+
+    Yields a list that fills with ``(name, weights)`` tuples — `"word"`
+    for the boundary unit's query-word attention ((B, Lq, Nq), reference
+    models.py:128-154) and `"content"` for the content-clip attention
+    ((B, L, L, C, Nq) dense / (B, N, C, Nq) packed, models.py:198-226) —
+    in call order (per SMI layer: content then word). Re-entrant; restores
+    the previous sink on exit.
+    """
+    global _ATTN_SINK
+    prev, sink = _ATTN_SINK, []
+    _ATTN_SINK = sink
+    try:
+        yield sink
+    finally:
+        _ATTN_SINK = prev
+
+
+def _record_attn(name: str, weights) -> None:
+    if _ATTN_SINK is not None:
+        _ATTN_SINK.append((name, weights))
+
+
 def word_attention(p: Params, query, key, value, key_mask):
     """Single-head scaled-dot attention, raw value passthrough (no W_v).
 
@@ -169,6 +205,7 @@ def word_attention(p: Params, query, key, value, key_mask):
     m = key_mask[..., 0][:, None, :].astype(logits.dtype)       # (B, 1, Lk)
     logits = jnp.where(m > 0, logits, _NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
+    _record_attn("word", weights)
     return jnp.einsum("bqk,bkd->bqd", weights, value)
 
 
@@ -185,6 +222,7 @@ def content_attention(p: Params, query5, key, value, key_mask):
     m = key_mask[..., 0][:, None, None, None, :].astype(logits.dtype)
     logits = jnp.where(m > 0, logits, _NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)                   # (B, L, L, C, Nq)
+    _record_attn("content", weights)
     return jnp.einsum("blmcn,bnd->blmcd", weights, value)
 
 
@@ -304,6 +342,7 @@ def content_attention_packed(p: Params, query3, key, value, key_mask):
     m = key_mask[..., 0][:, None, None, :].astype(logits.dtype)
     logits = jnp.where(m > 0, logits, _NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)                   # (B, N, C, Nq)
+    _record_attn("content", weights)
     return jnp.einsum("bncm,bmd->bncd", weights, value)
 
 

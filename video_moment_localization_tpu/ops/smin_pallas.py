@@ -173,6 +173,11 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     NC = N * C
     inv_sd = 1.0 / math.sqrt(D)
     inv_sdl = 1.0 / math.sqrt(dl)
+    # fp32 activations run every MXU matmul at HIGHEST precision (full fp32
+    # passes) so the kernel numerically matches the fp32 XLA parity path —
+    # same policy as the proposal kernel (ops/proposal_pallas.py). bf16, the
+    # production dtype, keeps the default single-pass MXU mode.
+    prec = jax.lax.Precision.HIGHEST if w == jnp.float32 else None
 
     qflat = qflat_ref[:].reshape(1, BB * Nq).astype(f32)  # lanes, all elems
     lflat = lflat_ref[:].reshape(1, BB * L).astype(f32)
@@ -205,8 +210,8 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     fb_parts = []
     for b in range(BB):
         fb_el = f_ref[b]                                 # (T, D) bf16
-        fc_parts.append(jnp.dot(wc, fb_el, preferred_element_type=f32))
-        fb_parts.append(jnp.dot(wb, fb_el, preferred_element_type=f32))
+        fc_parts.append(jnp.dot(wc, fb_el, preferred_element_type=f32, precision=prec))
+        fb_parts.append(jnp.dot(wb, fb_el, preferred_element_type=f32, precision=prec))
     fc = (jnp.concatenate(fc_parts, axis=0) * mcol).astype(w)   # (BB*NC, D)
     f_b = jnp.concatenate(fb_parts, axis=0).astype(w)           # (BB*L, D)
 
@@ -270,29 +275,29 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
         # output (invalid rows carry finite bias-derived garbage). Padding
         # word tokens are excluded by the attention mask, so masking fwh
         # itself is also redundant.
-        h32 = (jnp.dot(fc, c_hat_w, preferred_element_type=f32)
+        h32 = (jnp.dot(fc, c_hat_w, preferred_element_type=f32, precision=prec)
                + c_hat_b)                                # (BB*NC, dl) f32
         h = h32.astype(w)
 
-        fwh32 = jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32) + w_hat_b
+        fwh32 = jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32, precision=prec) + w_hat_b
         fwh = fwh32.astype(w)
-        khat = (jnp.dot(fwh, attn_k_w, preferred_element_type=f32)
+        khat = (jnp.dot(fwh, attn_k_w, preferred_element_type=f32, precision=prec)
                 + attn_k_b).astype(w)                    # (BB*Nq, dl)
-        fsh = (jnp.dot(fs_rows, s_hat_w, preferred_element_type=f32)
+        fsh = (jnp.dot(fs_rows, s_hat_w, preferred_element_type=f32, precision=prec)
                + s_hat_b)                                # (BB, dl) f32
 
         if "noattn" in ablate:
             f_caq = h32
         else:
-            q = (jnp.dot(h, attn_q_w, preferred_element_type=f32)
+            q = (jnp.dot(h, attn_q_w, preferred_element_type=f32, precision=prec)
                  + attn_q_b).astype(w)                   # (BB*NC, dl)
             logits = jax.lax.dot_general(
                 q, khat, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
+                preferred_element_type=f32, precision=prec,
             ) * inv_sdl                                  # (BB*NC, BB*Nq)
             logits = jnp.where(qkeep_nc, logits, _NEG_INF)
             attn = jax.nn.softmax(logits, axis=-1).astype(w)
-            f_caq = jnp.dot(attn, fwh, preferred_element_type=f32)
+            f_caq = jnp.dot(attn, fwh, preferred_element_type=f32, precision=prec)
 
         f_cq32 = h32 * (f_caq.reshape(BB, NC, dl)
                         + fsh[:, None, :]).reshape(BB * NC, dl)
@@ -316,7 +321,7 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
                 acc = acc + a_e * hh[:, e : e + 1, :]
             f_cc_hat = acc.reshape(BB * NC, dl).astype(w)
 
-        f_cc = jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32) + c_out_b
+        f_cc = jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32, precision=prec) + c_out_b
         cu = ((f_cc.astype(w).reshape(BB * N, C, D)
                + fc.reshape(BB * N, C, D)
                + fbar.reshape(BB * N, 1, D)).reshape(BB * NC, D)
@@ -333,36 +338,36 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
             bu = f_b
         else:
             bu = None
-        bq_all = (jnp.dot(f_b, b_q_w, preferred_element_type=f32)
+        bq_all = (jnp.dot(f_b, b_q_w, preferred_element_type=f32, precision=prec)
                   + b_q_b).astype(w)                     # (BB*L, D)
-        bk_all = (jnp.dot(fw_rows, b_k_w, preferred_element_type=f32)
+        bk_all = (jnp.dot(fw_rows, b_k_w, preferred_element_type=f32, precision=prec)
                   + b_k_b).astype(w)                     # (BB*Nq, D)
         blog = jax.lax.dot_general(
             bq_all, bk_all, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=prec,
         ) * inv_sd                                       # (BB*L, BB*Nq)
         blog = jnp.where(qkeep_l, blog, _NEG_INF)
         f_baq = jnp.dot(jax.nn.softmax(blog, axis=-1).astype(w), fw_rows,
-                        preferred_element_type=f32)               # (BB*L, D)
+                        preferred_element_type=f32, precision=prec)               # (BB*L, D)
         f_bq = (f_b.astype(f32).reshape(BB, L, D)
                 * (f_baq.reshape(BB, L, D)
                    + fs_rows.astype(f32)[:, None, :])
                 ).reshape(BB * L, D).astype(w)
         ab_log = jax.lax.dot_general(
             f_bq, f_bq, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=prec,
         ) * inv_sd                                       # (BB*L, BB*L)
         ab_log = jnp.where(lkeep, ab_log, _NEG_INF)
         A_b = jax.nn.softmax(ab_log, axis=-1) * lrow     # cross blocks -> 0
         A_bw = A_b.astype(w)
-        f_bb = jnp.dot(A_bw, f_b, preferred_element_type=f32) * lrow
+        f_bb = jnp.dot(A_bw, f_b, preferred_element_type=f32, precision=prec) * lrow
         # pair gather A_bp[n, b] = A_b[(b, i_n), (b, j_n)] via the kron'd
         # one-hots: one matmul + a lane reduction, no 2-D gather.
-        rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32)
+        rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32, precision=prec)
         A_bp = jnp.sum(rows_i * sel_j.astype(f32), axis=-1,
                        keepdims=True)                    # (BB*N, 1)
         msg = (A_bp * fbar32).astype(w)                  # (BB*N, D)
-        f_bm = jnp.dot(rsum, msg, preferred_element_type=f32)     # (BB*L, D)
+        f_bm = jnp.dot(rsum, msg, preferred_element_type=f32, precision=prec)     # (BB*L, D)
         if bu is None:
             bu = (f_bb + f_b.astype(f32) + f_bm).astype(w)        # (BB*L, D)
 
@@ -372,12 +377,12 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
         m_fc_w = mwm[D : 2 * D, :]
         m_fb_b = mbv[0:1, :]
         m_fc_b = mbv[1:2, :]
-        outer = (jnp.dot(sel_i, bu, preferred_element_type=f32)
-                 * jnp.dot(sel_j, bu, preferred_element_type=f32)
+        outer = (jnp.dot(sel_i, bu, preferred_element_type=f32, precision=prec)
+                 * jnp.dot(sel_j, bu, preferred_element_type=f32, precision=prec)
                  ).astype(w)                             # (BB*N, D)
-        conv_fb = jnp.dot(outer, m_fb_w, preferred_element_type=f32) + m_fb_b
+        conv_fb = jnp.dot(outer, m_fb_w, preferred_element_type=f32, precision=prec) + m_fb_b
         cu_mean = mean_over_c(cu).astype(w)
-        conv_fc = jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32) + m_fc_b
+        conv_fc = jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32, precision=prec) + m_fc_b
         mu = (((conv_fb + conv_fc) * mrow) + fm.astype(f32)).astype(w)
 
         return cu, mu, bu
@@ -390,12 +395,12 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     hw = hw_ref[:].astype(f32)                           # (2*D, 8)
     hb = hb_ref[:].astype(f32)                           # (2, 8)
     pm8 = jax.nn.sigmoid(
-        jnp.dot(fm.astype(f32), hw[0:D], preferred_element_type=f32)
+        jnp.dot(fm.astype(f32), hw[0:D], preferred_element_type=f32, precision=prec)
         + hb[0:1]
     ) * mrow                                             # (BB*N, 8)
     pm_ref[:] = pm8[:, 0:1].reshape(BB, 1, N)
     pb = jax.nn.sigmoid(
-        jnp.dot(f_b.astype(f32), hw[D : 2 * D], preferred_element_type=f32)
+        jnp.dot(f_b.astype(f32), hw[D : 2 * D], preferred_element_type=f32, precision=prec)
         + hb[1:2]
     ) * lrow                                             # (BB*L, 8)
     pb_ref[:] = pb.reshape(BB, L, 8)
