@@ -554,16 +554,16 @@ def smin_forward_inference(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Grad-free forward for eval/serving: same contract as `smin_forward`,
     but routes the SMIN interior through the fused VMEM-resident SMI-stack
-    kernel (ops/smin_pallas.py) when supported — measured 1.5x end-to-end
-    over the packed XLA path at the flagship serving batch. Falls back to
-    `smin_forward` off-TPU, at unsupported scales (ActivityNet L=64), in
-    compat/dense modes, or at fp32 (fp32 is the parity-exact mode — the
-    kernel's op grouping diverges from XLA's at DEFAULT MXU precision;
-    bf16, the production dtype, agrees at bf16 noise level). Not
-    differentiable through the kernel path — use `smin_forward` for
-    training."""
-    if (cfg.packed and not cfg.compat_head and cfg.fused_smi
-            and cfg.compute_dtype == "bfloat16"):
+    kernel (ops/smin_pallas.py) when supported — measured 1.34x end-to-end
+    over the packed XLA path at the flagship serving batch (and 1.25x at
+    ActivityNet L=64, B=512). Falls back to `smin_forward` off-TPU, at
+    unsupported scales, or in compat/dense modes. Not differentiable
+    through the kernel path — use `smin_forward` for training."""
+    # fp32 activations run the kernel's HIGHEST-precision MXU mode (full
+    # fp32 passes — ops/smin_pallas.py `prec`), so the parity-exact fp32
+    # mode gets the kernel too; verified on chip vs the fp32 XLA path in
+    # scripts/verify_kernels.py.
+    if cfg.packed and not cfg.compat_head and cfg.fused_smi:
         from video_moment_localization_tpu.ops import smin_pallas
         from video_moment_localization_tpu.ops.proposal import _on_tpu
 

@@ -21,11 +21,14 @@ at bf16 tolerance; tested against it in tests/test_smin_pallas.py.
 
 Design notes:
 
-* rows are **b-major**: per-cell working sets are (BB*NC, D) with row
-  (b, n*C + c) — per-element slices are contiguous, so the few genuinely
-  per-element ops (word attention vs that element's keys, the L x L
-  boundary attention) run as small per-b matmul loops (BB is 1-4) while
-  every projection runs as one big MXU matmul over all BB elements;
+* rows are **b-major, c-major within an element**: per-cell working sets
+  are (BB*NC, D) with row (b, c*N + n) — per-element slices are
+  contiguous (block-diagonal attention masking, kron'd one-hot gathers),
+  and clip offset c of every pair is one contiguous N-row block, so the
+  C x C clip attention and mean-over-C are block slices + VPU ops with no
+  stride-C sublane gathers (measured ~64 ms of relayouts in the n-major
+  layout at Charades BB=8); every projection runs as one big MXU matmul
+  over all BB elements;
 * the proposal pooling is a static averaging matrix ``Wc (NC, T)`` matmul
   per element — 2*NC*T*D = 36 MFLOP/elem, noise on the MXU, instead of
   in-kernel prefix sums (the reference's dense Wc einsum is bad because of
@@ -40,11 +43,12 @@ Design notes:
   unroll it replaced compiled in tens of minutes and OOM-killed at TACoS
   BB=4 cell sizes).
 
-Supports() gates on the per-element VMEM footprint: Charades (L=16,
-NC=544) and TACoS (L=32, NC=2112) fit; ActivityNet (L=64, NC=8320) does
-not and keeps the XLA path. Forward/serving only — training uses the XLA
-path (a custom VJP would have to re-materialize everything the kernel
-exists to avoid).
+Supports() gates on the BB=1 VMEM footprint and the proven max cell row
+count: all three flagship maps pass — Charades (L=16, NC=544, BB=8),
+TACoS (L=32, NC=2112) and ActivityNet (L=64, NC=8320, BB=1, measured
+1.25x over the packed XLA path at B=512). Forward/serving only — training
+uses the XLA path (a custom VJP would have to re-materialize everything
+the kernel exists to avoid).
 """
 
 from __future__ import annotations
@@ -63,6 +67,12 @@ from video_moment_localization_tpu.ops.content_matrix import content_segments
 from video_moment_localization_tpu.ops.packing import triu_packing
 
 _NEG_INF = -1e9
+# Largest per-cell row count Mosaic has compiled in this environment
+# (ActivityNet BB=1; TACoS BB=4 at 8448 rows is probed separately — see
+# scripts/probe_fused_scales.py). Compile time grows with cell size
+# (ActivityNet BB=1 cold compile ~10 min), the persistent compilation
+# cache amortizes it across processes.
+_MAX_CELL_ROWS = 8400
 
 
 @functools.lru_cache(maxsize=None)
@@ -75,6 +85,12 @@ def _geometry(T: int, L: int, C: int):
     N = pk.N
     NC = N * C
 
+    # Row layout is c-major within an element: row (c*N + n), NOT (n*C + c).
+    # Slicing one clip offset c of every pair is then one contiguous N-row
+    # block — the C x C clip-attention section and the mean-over-C reduce to
+    # block slices instead of stride-C sublane gathers (which Mosaic lowers
+    # as relayouts; measured ~64 ms of the BB=8 Charades cell in the n-major
+    # kernel). Every matmul over the NC rows is row-order agnostic.
     wc = np.zeros((NC, T), np.float32)
     starts = seg.starts[pk.i_idx, pk.j_idx]          # (N, C)
     sizes = seg.sizes[pk.i_idx, pk.j_idx]
@@ -82,7 +98,7 @@ def _geometry(T: int, L: int, C: int):
     for n in range(N):
         for c in range(C):
             s, z, w = int(starts[n, c]), int(sizes[n, c]), float(weights[n, c])
-            wc[n * C + c, s : s + z] = w
+            wc[c * N + n, s : s + z] = w
 
     wb = np.zeros((L, T), np.float32)
     k = T // L
@@ -113,15 +129,21 @@ def _geometry_bb(T: int, L: int, C: int, BB: int):
 
 
 def supports(cfg_or_L, C: int | None = None, D: int | None = None) -> bool:
-    """VMEM feasibility: 2 (BB*NC, D) bf16 buffers + per-layer weights must
-    fit the ~16 MB budget at BB >= 1."""
+    """VMEM feasibility at BB=1: the working set (~2.5x the resident fc/cu/
+    fm buffers, covering f32 transients) must fit the raised 100 MB VMEM
+    window, and the cell row count must not exceed the largest cell Mosaic
+    has compiled here (ActivityNet NC=8320, compiled + measured 1.25x over
+    XLA at B=512 — scripts/probe_fused_scales.py). All three flagship maps
+    pass: Charades NC=544, TACoS NC=2112, ActivityNet NC=8320. Mirrors
+    `_pick_bb`'s bb=1 admission test so supports() == (_pick_bb finds a
+    BB)."""
     if C is None:
         L, C, D = cfg_or_L.L, cfg_or_L.C, cfg_or_L.D
     else:
         L = cfg_or_L
     N = L * (L + 1) // 2
     per_elem = 2 * N * C * D * 2 + 6 * N * D  # fc/cu bf16 + fm/fbar f32-ish
-    return per_elem <= 6_500_000  # leaves ~9 MB for weights + transients
+    return int(2.5 * per_elem) <= 80_000_000 and N * C <= _MAX_CELL_ROWS
 
 
 def _pick_bb(B: int, L: int, C: int, D: int) -> int:
@@ -142,12 +164,11 @@ def _pick_bb(B: int, L: int, C: int, D: int) -> int:
     N = L * (L + 1) // 2
     per_elem = 2 * N * C * D * 2 + 6 * N * D  # ~40% of true peak; x2.5 below
     for bb in (8, 4, 2, 1):
-        # Row cap: Mosaic compile memory explodes past ~4.4k-row cells with
-        # the 3-layer unrolled body (the TACoS BB=4 = 8.4k-row program got
-        # the compile helper OOM-killed); 4352 rows (Charades BB=8) is the
-        # proven ceiling.
+        # Row cap: largest cell Mosaic has compiled here is ActivityNet
+        # BB=1 (8320 rows). The unrolled-body era's 4.4k cap (compile OOM
+        # at TACoS BB=4) no longer applies with the fori_loop layer body.
         if (B % bb == 0 and int(2.5 * bb * per_elem) <= 80_000_000
-                and bb * N * C <= 4400):
+                and bb * N * C <= _MAX_CELL_ROWS):
             return bb
     return 1
 
@@ -185,7 +206,10 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     # row-mask layouts arrive as separate (rows, 1) inputs: deriving them
     # from the lane layouts would need lane->sublane shape casts, which
     # Mosaic's layout inference rejects at these widths.
-    mrow = mcol_ref[:].reshape(BB * N, C, 1)[:, 0, :].astype(f32)  # (BB*N, 1)
+    # c-major rows: the first N rows of each element's NC block are the
+    # per-pair mask (clip 0) — a contiguous block slice.
+    mrow = (mcol_ref[:].reshape(BB, C * N)[:, 0:N]
+            .reshape(BB * N, 1).astype(f32))             # (BB*N, 1)
     lrow = lrow_ref[:].reshape(BB * L, 1).astype(f32)    # (BB*L, 1)
 
     fw_rows = fw_ref[:].reshape(BB * Nq, D)              # (BB*Nq, D) bf16
@@ -216,12 +240,14 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     f_b = jnp.concatenate(fb_parts, axis=0).astype(w)           # (BB*L, D)
 
     def mean_over_c(x_rows):
-        """(BB*NC, D) -> (BB*N, D) mean over the C clip rows of each pair
-        (static keepdim slices — Mosaic-safe middle-axis reduction)."""
-        x3 = x_rows.reshape(BB * N, C, D)
-        acc = x3[:, 0:1, :].astype(f32)
+        """(BB*NC, D) c-major -> (BB*N, D) mean over the C clip rows of each
+        pair. Clip c of every pair is one contiguous (N, D) block per
+        element: static block slices, no stride-C sublane gathers (which
+        Mosaic lowers as relayouts — the n-major kernel's cost)."""
+        x3 = x_rows.reshape(BB, C * N, D)
+        acc = x3[:, 0:N, :].astype(f32)
         for e in range(1, C):
-            acc = acc + x3[:, e : e + 1, :].astype(f32)
+            acc = acc + x3[:, e * N : (e + 1) * N, :].astype(f32)
         return acc.reshape(BB * N, D) * (1.0 / C)
 
     fm = (mean_over_c(fc) * mrow).astype(w)                     # (BB*N, D)
@@ -305,27 +331,39 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
         if "nocc" in ablate:
             f_cc_hat = f_cq32.astype(w)
         else:
-            # intra-moment C x C clip attention on the VPU (static per-offset
-            # reductions — same trick as ops/content_pallas.py v2)
-            g = f_cq32.reshape(BB * N, C, dl)
-            hh = h32.reshape(BB * N, C, dl)
-            sim_cols = [
-                jnp.sum(g * g[:, e : e + 1, :], axis=-1).reshape(BB * NC, 1)
-                for e in range(C)
-            ]
-            sim = jnp.concatenate(sim_cols, axis=1) * inv_sdl   # (BB*NC, C)
-            a = jax.nn.softmax(sim, axis=-1)
-            acc = jnp.zeros((BB * N, C, dl), f32)
-            for e in range(C):
-                a_e = a[:, e : e + 1].reshape(BB * N, C, 1)
-                acc = acc + a_e * hh[:, e : e + 1, :]
-            f_cc_hat = acc.reshape(BB * NC, dl).astype(w)
+            # intra-moment C x C clip attention on the VPU. c-major rows
+            # make clip i of every pair one contiguous (N, dl) block per
+            # element, so the C^2 dot products and the A_c @ h mix are
+            # elementwise ops + lane reductions over aligned blocks — no
+            # stride-C sublane slices.
+            g = f_cq32.reshape(BB, C * N, dl)
+            hh = h32.reshape(BB, C * N, dl)
+            gblk = [g[:, e * N : (e + 1) * N, :] for e in range(C)]
+            hblk = [hh[:, e * N : (e + 1) * N, :] for e in range(C)]
+            sim_rows = []
+            for i in range(C):
+                cols = [jnp.sum(gblk[i] * gblk[j], axis=-1, keepdims=True)
+                        for j in range(C)]                # (BB, N, 1) each
+                sim_rows.append(jnp.concatenate(cols, axis=-1))   # (BB, N, C)
+            sim = (jnp.concatenate(sim_rows, axis=1)
+                   .reshape(BB * NC, C) * inv_sdl)        # c-major rows
+            a3 = jax.nn.softmax(sim, axis=-1).reshape(BB, C * N, C)
+            out_rows = []
+            for i in range(C):
+                ai = a3[:, i * N : (i + 1) * N, :]        # (BB, N, C)
+                acc = ai[..., 0:1] * hblk[0]
+                for j in range(1, C):
+                    acc = acc + ai[..., j : j + 1] * hblk[j]
+                out_rows.append(acc)                      # (BB, N, dl) f32
+            f_cc_hat = (jnp.concatenate(out_rows, axis=1)
+                        .reshape(BB * NC, dl).astype(w))
 
         f_cc = jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32, precision=prec) + c_out_b
-        cu = ((f_cc.astype(w).reshape(BB * N, C, D)
-               + fc.reshape(BB * N, C, D)
-               + fbar.reshape(BB * N, 1, D)).reshape(BB * NC, D)
-              * mcol.astype(w))
+        # fbar broadcast to c-major rows: C stacked copies of the (N, D)
+        # per-pair message per element.
+        fbar_rows = jnp.concatenate(
+            [fbar.reshape(BB, N, D)] * C, axis=1).reshape(BB * NC, D)
+        cu = (f_cc.astype(w) + fc + fbar_rows) * mcol.astype(w)
 
         # ---------------- BoundaryUnit ---------------- #
         # bwm = [attn_q (D, D) | attn_k (D, D)] stacked on rows
@@ -479,7 +517,8 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
     BB = _pick_bb(B, L, C, D)
     wc, wb, sel_i, sel_j, rsum = _geometry_bb(T, L, C, BB)
 
-    mcol = jnp.repeat(vmask.astype(f32), C, axis=1)[..., None]   # (B, NC, 1)
+    # c-major rows (see _geometry): mcol row (c*N + n) masks pair n -> tile.
+    mcol = jnp.tile(vmask.astype(f32), (1, C))[..., None]        # (B, NC, 1)
     # Per-cell flattened masks: the BB elements' tokens/snippets along
     # lanes, for the block-diagonal attention masking.
     qflat = query_mask[..., 0].astype(f32).reshape(B // BB, 1, BB * Nq)
