@@ -48,7 +48,7 @@ def _inputs(cfg, B=4, seed=0):
     qmask = np.ones((B, cfg.max_query_length, 1), np.float32)
     qmask[0, 3:] = 0                      # ragged query
     lmask = np.ones((B, cfg.L), np.float32)
-    lmask[1, cfg.L // 2 :] = 0            # short video
+    lmask[1 % B, cfg.L // 2 :] = 0        # short video
     return f, fw, fs, jnp.asarray(qmask), jnp.asarray(lmask)
 
 
@@ -56,7 +56,8 @@ def test_supports_gates_on_vmem():
     assert supports(8, 4, 64)             # tiny
     assert supports(16, 4, 512)           # charades
     assert supports(32, 4, 512)           # tacos
-    assert not supports(64, 4, 512)       # activitynet: XLA path
+    assert supports(64, 4, 512)           # activitynet (BB=1, round 3)
+    assert not supports(128, 4, 512)      # 33k-row map: beyond VMEM/rows
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -121,3 +122,22 @@ def test_fused_stack_bf16_close():
         assert np.mean(diff) < 0.01, (name, np.mean(diff))
         assert np.quantile(diff, 0.98) < 0.05, (name, np.quantile(diff, 0.98))
         assert diff.max() < 0.3, (name, diff.max())
+
+
+def test_fused_stack_activitynet_geometry():
+    """L=64 (N=2080, 8320-row cells at BB=1) — the ActivityNet map enabled
+    in round 3 (shrunk D for CPU interpret speed; the c-major row geometry,
+    block-diag masks and BB=1 pick are what this exercises)."""
+    cfg = dataclasses.replace(CFG, T=128, L=64, C=4, D=32, dl=16,
+                              lstm_hidden_size=16,
+                              max_query_length=10, num_smi_layers=2)
+    assert supports(cfg.L, cfg.C, cfg.D)
+    params = init_smin_params(jax.random.PRNGKey(9), cfg)
+    f, fw, fs, qmask, lmask = _inputs(cfg, B=1, seed=6)
+    vmask = packed_valid_mask(lmask)
+    want = _xla_reference(params, cfg, f, fw, fs, qmask, lmask)
+    got = smin_stack_fused(params, cfg, f, fw, fs, qmask, lmask, vmask,
+                           interpret=True)
+    for g, w_, name in zip(got, want, ("pm", "ps", "pe", "pa")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
