@@ -166,16 +166,77 @@ def _measure_serving(cfg, params, arrays, sm, wall: bool = True):
     return onchip, wall_pairs, chain_dt
 
 
+def _measure_train(cfg, params):
+    """K-chained train-step device throughput (samples/s) at B_TRAIN."""
+    import optax
+
+    from __graft_entry__ import _synthetic_arrays
+    from video_moment_localization_tpu.models import smin_forward
+    from video_moment_localization_tpu.train.loss import smin_loss
+
+    N = cfg.L * (cfg.L + 1) // 2
+    rng = np.random.default_rng(1)
+    tvf, tvm, tqf, tqm, tlm, tmm = _synthetic_arrays(cfg, B=B_TRAIN)
+    tsm = rng.uniform(0, 1, (B_TRAIN, N)).astype(np.float32)
+    batch = {
+        "video_features": tvf, "video_mask": tvm, "query_features": tqf,
+        "query_mask": tqm, "length_mask": tlm,
+        "sm": jax.numpy.asarray(tsm),
+        "ym": jax.numpy.asarray((tsm > 0.5).astype(np.float32)),
+    }
+    for k in ("ss", "ys", "se", "ye", "ya"):
+        v = rng.uniform(0, 1, (B_TRAIN, cfg.L)).astype(np.float32)
+        batch[k] = jax.numpy.asarray(
+            v if k in ("ss", "se") else (v > 0.5).astype(np.float32))
+    batch["sample_mask"] = jax.numpy.ones(B_TRAIN, np.float32)
+
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+
+    def one_step(p, o):
+        def loss_fn(p_):
+            out = smin_forward(p_, cfg, tvf, tvm, tqf, tqm, tlm, None)
+            loss, _ = smin_loss(out, batch)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    @jax.jit
+    def train_chain(p, o):
+        def body(carry, _):
+            p_, o_ = carry
+            p_, o_, loss = one_step(p_, o_)
+            return (p_, o_), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), None, length=K_CHAIN)
+        return losses[-1]
+
+    np.asarray(train_chain(params, opt_state))  # compile
+    train_dt = _timed_fetch(train_chain, params, opt_state)
+    return K_CHAIN * B_TRAIN / train_dt, train_dt
+
+
 def _fused_probe() -> None:
-    """Subprocess mode: measure the fused-kernel serving path, print JSON."""
+    """Subprocess mode: measure the fused-kernel serving AND training paths
+    (slow Mosaic compiles happen here, under the parent's timeout), print
+    one JSON line per completed measurement (parent takes the last)."""
     from __graft_entry__ import _charades_cfg
 
-    cfg = _charades_cfg()  # fused_smi=True default
+    cfg = _charades_cfg()  # fused_smi/fused_smi_train=True defaults
     params, arrays, sm = _setup(cfg)
+    out = {"phase": "fused"}
     onchip, wall_pairs, chain_dt = _measure_serving(cfg, params, arrays, sm)
-    print(json.dumps({"phase": "fused", "onchip_pairs": onchip,
-                      "wall_pairs": wall_pairs, "chain_dt": chain_dt}),
-          flush=True)
+    out.update({"onchip_pairs": onchip, "wall_pairs": wall_pairs,
+                "chain_dt": chain_dt})
+    print(json.dumps(out), flush=True)
+    try:
+        train_sps, train_dt = _measure_train(cfg, params)
+        out.update({"train_sps": train_sps, "train_dt": train_dt})
+    except Exception:
+        pass
+    print(json.dumps(out), flush=True)
 
 
 def main() -> None:
@@ -184,15 +245,13 @@ def main() -> None:
     signal.signal(signal.SIGINT, _emit_and_exit)
 
     from __graft_entry__ import _charades_cfg
-    from video_moment_localization_tpu.models import smin_forward
-    from video_moment_localization_tpu.train.loss import smin_loss
     from video_moment_localization_tpu.utils.flops import (
         smin_forward_flops,
         smin_train_step_flops,
     )
 
     cfg = _charades_cfg()
-    xla_cfg = dataclasses.replace(cfg, fused_smi=False)
+    xla_cfg = dataclasses.replace(cfg, fused_smi=False, fused_smi_train=False)
     on_tpu = jax.default_backend().startswith(("tpu", "axon"))
 
     # ---------------- phase A: XLA serving path (fast compile) ----------- #
@@ -236,55 +295,11 @@ def main() -> None:
     except Exception:
         _RESULT["serving_nms_pairs_per_sec"] = None
 
-    # ---------------- phase A'': training ---------------- #
-    import optax
-
-    from __graft_entry__ import _synthetic_arrays
-
-    N = cfg.L * (cfg.L + 1) // 2
-    rng = np.random.default_rng(1)
-    tvf, tvm, tqf, tqm, tlm, tmm = _synthetic_arrays(cfg, B=B_TRAIN)
-    tsm = rng.uniform(0, 1, (B_TRAIN, N)).astype(np.float32)
-    batch = {
-        "video_features": tvf, "video_mask": tvm, "query_features": tqf,
-        "query_mask": tqm, "length_mask": tlm,
-        "sm": jax.numpy.asarray(tsm),
-        "ym": jax.numpy.asarray((tsm > 0.5).astype(np.float32)),
-    }
-    for k in ("ss", "ys", "se", "ye", "ya"):
-        v = rng.uniform(0, 1, (B_TRAIN, cfg.L)).astype(np.float32)
-        batch[k] = jax.numpy.asarray(
-            v if k in ("ss", "se") else (v > 0.5).astype(np.float32))
-    batch["sample_mask"] = jax.numpy.ones(B_TRAIN, np.float32)
-
-    optimizer = optax.adam(5e-4)
-    opt_state = optimizer.init(params)
-
-    def one_step(p, o):
-        def loss_fn(p_):
-            out = smin_forward(p_, cfg, tvf, tvm, tqf, tqm, tlm, None)
-            loss, _ = smin_loss(out, batch)
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = optimizer.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
-
-    @jax.jit
-    def train_chain(p, o):
-        def body(carry, _):
-            p_, o_ = carry
-            p_, o_, loss = one_step(p_, o_)
-            return (p_, o_), loss
-
-        (p, o), losses = jax.lax.scan(body, (p, o), None, length=K_CHAIN)
-        return losses[-1]
-
-    np.asarray(train_chain(params, opt_state))  # compile
-    train_dt = _timed_fetch(train_chain, params, opt_state)
+    # ---------------- phase A'': training (XLA path) ---------------- #
+    train_sps, train_dt = _measure_train(xla_cfg, params)
     train_flops = smin_train_step_flops(cfg, B_TRAIN)
-    _RESULT["train_samples_per_sec_per_chip"] = round(
-        K_CHAIN * B_TRAIN / train_dt, 2)
+    _RESULT["train_samples_per_sec_per_chip"] = round(train_sps, 2)
+    _RESULT["train_path"] = "xla"
     _RESULT["train_mfu_pct"] = (
         round(100 * train_flops * K_CHAIN / train_dt / PEAK_FLOPS, 2)
         if on_tpu else None)
@@ -303,7 +318,7 @@ def main() -> None:
                          if ln.startswith("{")), None)
             if line:
                 probe = json.loads(line)
-                if probe["onchip_pairs"] > onchip_pairs:
+                if probe.get("onchip_pairs", 0) > onchip_pairs:
                     _RESULT.update({
                         "value": round(probe["onchip_pairs"], 2),
                         "vs_baseline": round(
@@ -314,6 +329,16 @@ def main() -> None:
                             / PEAK_FLOPS, 2),
                         "serving_path": "fused_smi_stack",
                         "serving_xla_pairs_per_sec": round(onchip_pairs, 2),
+                    })
+                if probe.get("train_sps", 0) > train_sps:
+                    _RESULT.update({
+                        "train_samples_per_sec_per_chip": round(
+                            probe["train_sps"], 2),
+                        "train_path": "fused_smi_train",
+                        "train_xla_samples_per_sec": round(train_sps, 2),
+                        "train_mfu_pct": round(
+                            100 * train_flops * K_CHAIN / probe["train_dt"]
+                            / PEAK_FLOPS, 2),
                     })
         except (subprocess.TimeoutExpired, Exception):
             _RESULT["serving_path"] = "xla (fused probe timed out)"

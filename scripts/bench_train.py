@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--no_fused_train", action="store_true",
+                        help="force the XLA SMI stack (fused_smi_train=False)")
     args = parser.parse_args()
 
     import jax
@@ -47,7 +49,8 @@ def main():
     scale = _SCALES[args.dataset]
     cfg = ModelConfig(C=4, D=512, dl=128, num_smi_layers=3,
                       lstm_hidden_size=256, compute_dtype=args.dtype,
-                      remat_smi=args.remat, **scale)
+                      remat_smi=args.remat,
+                      fused_smi_train=not args.no_fused_train, **scale)
     B, T, L = args.batch_size, cfg.T, cfg.L
     rng = np.random.default_rng(0)
     batch = {
@@ -91,6 +94,7 @@ def main():
         _ = float(m["loss"])  # per-iteration host fetch
     dt = (time.perf_counter() - t0) / args.iters
     print(f"{args.dataset} train step: B={B} dtype={args.dtype} remat={args.remat} "
+          f"fused_train={cfg.fused_smi_train} "
           f"{dt * 1e3:.2f} ms/step  ({B / dt:.0f} samples/s/chip)  "
           f"loss={float(m['loss']):.4f}")
 

@@ -302,9 +302,14 @@ def _load_stats(ckpt_dir: str, experiment: str):
 def cmd_report(args):
     ref, ref_init, ref_wall = _load_stats(args.ref_dir, args.experiment)
     ours, our_init, our_wall = _load_stats(args.ours_dir, args.experiment)
-    ref2 = None
-    if args.ref_dir2:
-        ref2, _, _ = _load_stats(args.ref_dir2, args.experiment)
+    # Extra reference seeds (VERDICT r2 item 7): the seed-to-seed spread of
+    # the reference itself is the yardstick the ours-vs-ref gap is judged
+    # against on the synthetic fixture.
+    extra_refs = []
+    for d in (args.ref_dir2, args.ref_dir3):
+        if d:
+            extra_refs.append(_load_stats(d, args.experiment)[0])
+    ref2 = extra_refs[0] if extra_refs else None
 
     lines = []
     w = lines.append
@@ -347,38 +352,41 @@ def cmd_report(args):
     w(f"## Training trajectories ({len(ref['epoch'])} epochs, "
       f"{args.train_samples} train / {args.test_samples} eval samples)")
     w("")
-    hdr = "| epoch | train_loss ref | train_loss ours | eval_loss ref | eval_loss ours |"
-    if ref2:
-        hdr = ("| epoch | train_loss ref | ref seed2 | ours | "
-               "eval_loss ref | ref seed2 | ours |")
+    n_ref = 1 + len(extra_refs)
+    seed_hdr = "".join(f" ref s{j + 2} |" for j in range(len(extra_refs)))
+    hdr = (f"| epoch | train_loss ref |{seed_hdr} ours "
+           f"| eval_loss ref |{seed_hdr} ours |")
     w(hdr)
-    w("|---" * (7 if ref2 else 5) + "|")
+    w("|---" * (3 + 2 * n_ref) + "|")
     for i, ep in enumerate(ref["epoch"]):
-        if ref2:
-            w(f"| {ep} | {ref['train_loss'][i]:.4f} | {ref2['train_loss'][i]:.4f} "
-              f"| {ours['train_loss'][i]:.4f} | {ref['eval_loss'][i]:.4f} "
-              f"| {ref2['eval_loss'][i]:.4f} | {ours['eval_loss'][i]:.4f} |")
-        else:
-            w(f"| {ep} | {ref['train_loss'][i]:.4f} | {ours['train_loss'][i]:.4f} "
-              f"| {ref['eval_loss'][i]:.4f} | {ours['eval_loss'][i]:.4f} |")
+        tl = "".join(f" {r2['train_loss'][i]:.4f} |" for r2 in extra_refs)
+        el = "".join(f" {r2['eval_loss'][i]:.4f} |" for r2 in extra_refs)
+        w(f"| {ep} | {ref['train_loss'][i]:.4f} |{tl} "
+          f"{ours['train_loss'][i]:.4f} | {ref['eval_loss'][i]:.4f} |{el} "
+          f"{ours['eval_loss'][i]:.4f} |")
     w("")
 
     w("## Final-epoch eval metrics")
     w("")
     cols = "| metric | reference | ours | diff |"
-    if ref2:
-        cols = "| metric | reference | ref seed2 | ours | ours-ref | ref seed spread |"
+    if extra_refs:
+        cols = (f"| metric | reference |{seed_hdr} ours | ours-ref "
+                f"| ref seed spread |")
     w(cols)
-    w("|---" * (6 if ref2 else 4) + "|")
+    w("|---" * (4 + (2 * len(extra_refs) if extra_refs else 0)) + "|")
     worst = 0.0
+    worst_spread = 0.0
     for k in METRICS:
         r = ref[f"eval_{k}"][-1]
         o = ours[f"eval_{k}"][-1]
         worst = max(worst, abs(r - o))
-        if ref2:
-            r2 = ref2[f"eval_{k}"][-1]
-            w(f"| {k} | {r:.4f} | {r2:.4f} | {o:.4f} | {o - r:+.4f} "
-              f"| {abs(r - r2):.4f} |")
+        if extra_refs:
+            rs = [r] + [r2[f"eval_{k}"][-1] for r2 in extra_refs]
+            spread = max(rs) - min(rs)
+            worst_spread = max(worst_spread, spread)
+            seed_cells = "".join(f" {v:.4f} |" for v in rs[1:])
+            w(f"| {k} | {r:.4f} |{seed_cells} {o:.4f} | {o - r:+.4f} "
+              f"| {spread:.4f} |")
         else:
             w(f"| {k} | {r:.4f} | {o:.4f} | {o - r:+.4f} |")
     w("")
@@ -387,6 +395,11 @@ def cmd_report(args):
     w("BASELINE.json is in percentage points, i.e. 0.003 here, for the real-")
     w("data run; the synthetic fixture's bar is the reference's own seed-to-")
     w("seed spread).")
+    if extra_refs:
+        w("")
+        w(f"Reference seed-to-seed spread (max-min over {n_ref} seeds, worst "
+          f"metric): **{worst_spread:.4f}** — the ours-vs-ref gap is judged "
+          "against this run-to-run variance of the reference itself.")
     w("")
 
     if ref_wall and our_wall:
@@ -451,6 +464,7 @@ def main():
     rep.add_argument("--ref-dir", required=True)
     rep.add_argument("--ours-dir", required=True)
     rep.add_argument("--ref-dir2", default=None)
+    rep.add_argument("--ref-dir3", default=None)
     rep.add_argument("--experiment", default="parity")
     rep.add_argument("--fixture", default="")
     rep.add_argument("--train-samples", type=int, default=0)

@@ -161,7 +161,12 @@ def main() -> int:
         ok &= stack_ok
 
         args32 = (f, fw, fs, qm, lm)
-        ref32 = jax.jit(xla_stack)(*args32)
+        # The kernel's fp32 mode runs every matmul at HIGHEST precision;
+        # XLA's DEFAULT f32 matmuls on TPU use bf16 MXU passes (~3e-2 p98
+        # drift on this stack), so the reference must also run HIGHEST or
+        # the check measures XLA's own rounding, not the kernel's.
+        with jax.default_matmul_precision("highest"):
+            ref32 = jax.jit(xla_stack)(*args32)
         got32 = jax.jit(
             lambda *a, _p=params, _c=cfg: smin_pallas.smin_stack_fused(
                 _p, _c, *a)
@@ -175,6 +180,70 @@ def main() -> int:
         print(f"{'PASS' if stack32_ok else 'FAIL'}  {name}: fused SMI stack "
               f"(fp32 HIGHEST) [{'; '.join(report)}]")
         ok &= stack32_ok
+
+    # Differentiable fused SMI stack (training path): compiled gradient
+    # parity vs the XLA packed stack at Charades scale.
+    from video_moment_localization_tpu.ops import smin_train_pallas
+
+    cfg = ModelConfig(T=64, L=16, C=4, D=512, dl=128, num_smi_layers=3,
+                      input_video_dim=1024, max_query_length=13,
+                      lstm_hidden_size=256)
+    if smin_train_pallas.supports_train(cfg):
+        B, Nq = 16, 13
+        params = init_smin_params(jax.random.PRNGKey(2), cfg)
+        f = jnp.asarray(rng.standard_normal((B, cfg.T, cfg.D)).astype(np.float32))
+        fw = jnp.asarray(rng.standard_normal((B, Nq, cfg.D)).astype(np.float32))
+        fs = jnp.asarray(rng.standard_normal((B, cfg.D)).astype(np.float32))
+        qm = jnp.ones((B, Nq, 1), jnp.float32)
+        length = np.ones((B, cfg.L), np.float32)
+        length[1, cfg.L // 2 :] = 0
+        lm = jnp.asarray(length)
+        vm = packed_valid_mask(lm)
+        wm = jnp.asarray(rng.standard_normal(
+            (B, vm.shape[1], cfg.D)).astype(np.float32))
+        wb = jnp.asarray(rng.standard_normal((B, cfg.L, cfg.D)).astype(np.float32))
+
+        def scalar(stack, p, f_, fw_, fs_):
+            fc, fm_, fb = proposal_features_packed(f_, lm, cfg.L, cfg.C)
+            if stack == "fused":
+                fm_o, fb_o = smin_train_pallas.smin_smi_stack_train(
+                    p, cfg, fc, fm_, fb, fw_, fs_, qm, lm, vm)
+            else:
+                vmask = vm.astype(f_.dtype)
+                for p_layer in p["smi"]:
+                    fc, fm_, fb = smi_block_packed(p_layer, fc, fm_, fb,
+                                                   fw_, fs_, qm, lm, vmask,
+                                                   cfg.L)
+                fm_o, fb_o = fm_, fb
+            return (jnp.sum(fm_o * wm * vm[..., None])
+                    + jnp.sum(fb_o * wb * lm[..., None])) / B
+
+        g_x = jax.jit(jax.grad(lambda *a: scalar("xla", *a),
+                               argnums=(0, 1, 2, 3)))(params, f, fw, fs)
+        g_k = jax.jit(jax.grad(lambda *a: scalar("fused", *a),
+                               argnums=(0, 1, 2, 3)))(params, f, fw, fs)
+        flat_x = jax.tree.leaves(g_x)
+        flat_k = jax.tree.leaves(g_k)
+        worst = 0.0
+        for a, b in zip(flat_x, flat_k):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            amax = np.abs(a).max()
+            if amax < 1e-2:
+                # Mathematically-zero gradients (the attention KEY biases:
+                # softmax is shift-invariant in the keys, so their true
+                # grad is 0 and both sides compute O(1e-3) cancellation
+                # noise — a relative comparison of two noises is
+                # meaningless). Require the fused side to be equally tiny.
+                ok_leaf = np.abs(b).max() < 5e-2
+                worst = max(worst, 0.0 if ok_leaf else float("inf"))
+                continue
+            worst = max(worst, float(np.abs(a - b).max() / amax))
+        # compiled XLA f32 matmuls on TPU default to single-pass MXU
+        # (bf16-ish mantissas); the kernel runs HIGHEST — bf16-level bound.
+        train_ok = worst < 3e-2
+        print(f"{'PASS' if train_ok else 'FAIL'}  charades: fused SMI train "
+              f"grads (max rel err {worst:.2e})")
+        ok &= train_ok
 
     print("ALL KERNELS VERIFIED" if ok else "KERNEL MISMATCH")
     return 0 if ok else 1

@@ -1,0 +1,155 @@
+"""Differentiable fused SMI stack (ops/smin_train_pallas.py): forward and
+GRADIENT parity with the packed XLA pipeline, in interpret mode on CPU.
+Compiled parity + throughput are exercised on TPU by
+scripts/verify_kernels.py / bench.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_moment_localization_tpu.config import ModelConfig
+from video_moment_localization_tpu.models import init_smin_params
+from video_moment_localization_tpu.models.smin import smi_block_packed
+from video_moment_localization_tpu.ops.packing import packed_valid_mask
+from video_moment_localization_tpu.ops.proposal import proposal_features_packed
+from video_moment_localization_tpu.ops.smin_train_pallas import (
+    _pick_bb,
+    pack_rows,
+    smin_smi_stack_train,
+    supports_train,
+    unpack_rows,
+)
+
+CFG = ModelConfig(T=16, L=8, C=4, D=64, dl=32, num_smi_layers=2,
+                  input_video_dim=12, max_query_length=6, lstm_hidden_size=32)
+
+
+def _inputs(cfg, B=4, seed=0):
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.standard_normal((B, cfg.T, cfg.D)).astype(np.float32))
+    fw = jnp.asarray(
+        rng.standard_normal((B, cfg.max_query_length, cfg.D)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((B, cfg.D)).astype(np.float32))
+    qmask = np.ones((B, cfg.max_query_length, 1), np.float32)
+    qmask[0, 3:] = 0                      # ragged query
+    lmask = np.ones((B, cfg.L), np.float32)
+    lmask[1 % B, cfg.L // 2 :] = 0        # short video
+    return f, fw, fs, jnp.asarray(qmask), jnp.asarray(lmask)
+
+
+def _xla_stack(params, cfg, fc, fm, fb, fw, fs, qmask, lmask, vmask):
+    for p_layer in params["smi"]:
+        fc, fm, fb = smi_block_packed(p_layer, fc, fm, fb, fw, fs,
+                                      qmask, lmask, vmask, cfg.L)
+    return fm, fb
+
+
+def _fused_stack(params, cfg, fc, fm, fb, fw, fs, qmask, lmask, vmask):
+    return smin_smi_stack_train(params, cfg, fc, fm, fb, fw, fs,
+                                qmask, lmask, vmask, interpret=True)
+
+
+def test_supports_and_bb():
+    assert supports_train(CFG)
+    assert supports_train(ModelConfig(T=64, L=16, C=4, D=512, dl=128,
+                                      lstm_hidden_size=256))     # charades
+    assert not supports_train(ModelConfig(T=128, L=64, C=4, D=512, dl=128,
+                                          max_query_length=20,
+                                          input_video_dim=500,
+                                          lstm_hidden_size=256))  # anet
+    assert _pick_bb(256, 16, 4, 512) in (2, 4, 8)
+    with pytest.raises(ValueError):
+        import os
+
+        os.environ["VML_SMIN_TRAIN_BB"] = "3"
+        try:
+            _pick_bb(256, 16, 4, 512)
+        finally:
+            del os.environ["VML_SMIN_TRAIN_BB"]
+
+
+def test_pack_unpack_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 36, 4, 8)).astype(np.float32))
+    assert jnp.array_equal(unpack_rows(pack_rows(x), 36, 4), x)
+
+
+def test_forward_parity():
+    params = init_smin_params(jax.random.PRNGKey(0), CFG)
+    f, fw, fs, qmask, lmask = _inputs(CFG)
+    vmask = packed_valid_mask(lmask)
+    fc, fm, fb = proposal_features_packed(f, lmask, CFG.L, CFG.C)
+
+    fm_x, fb_x = _xla_stack(params, CFG, fc, fm, fb, fw, fs, qmask, lmask,
+                            vmask)
+    fm_k, fb_k = _fused_stack(params, CFG, fc, fm, fb, fw, fs, qmask, lmask,
+                              vmask)
+    # Valid positions only: the kernel zeroes invalid pairs where the XLA
+    # path carries (masked-later) garbage.
+    np.testing.assert_allclose(
+        np.asarray(fm_k * vmask[..., None]),
+        np.asarray(fm_x * vmask[..., None]), rtol=2e-5, atol=2e-5)
+    lm3 = lmask[..., None]
+    np.testing.assert_allclose(np.asarray(fb_k * lm3), np.asarray(fb_x * lm3),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradient_parity():
+    """Grads wrt params AND all activation inputs match the XLA stack."""
+    params = init_smin_params(jax.random.PRNGKey(0), CFG)
+    f, fw, fs, qmask, lmask = _inputs(CFG)
+    vmask = packed_valid_mask(lmask)
+    fc, fm, fb = proposal_features_packed(f, lmask, CFG.L, CFG.C)
+    B = fc.shape[0]
+    rng = np.random.default_rng(7)
+    wm = jnp.asarray(rng.standard_normal(fm.shape).astype(np.float32))
+    wb = jnp.asarray(rng.standard_normal(fb.shape).astype(np.float32))
+
+    def scalar(stack_fn, p, fc_, fm_, fb_, fw_, fs_):
+        fm_o, fb_o = stack_fn(p, CFG, fc_, fm_, fb_, fw_, fs_, qmask,
+                              lmask, vmask)
+        # masked readout: heads only consume valid positions
+        return (jnp.sum(fm_o * wm * vmask[..., None])
+                + jnp.sum(fb_o * wb * lmask[..., None])) / B
+
+    g_x = jax.grad(lambda *a: scalar(_xla_stack, *a), argnums=(0, 1, 2, 3, 4, 5))(
+        params, fc, fm, fb, fw, fs)
+    g_k = jax.grad(lambda *a: scalar(_fused_stack, *a), argnums=(0, 1, 2, 3, 4, 5))(
+        params, fc, fm, fb, fw, fs)
+
+    # SMI + activation grads. (video_encoder/query_encoder/localization
+    # params don't participate in the stack: both grads are zero trees.)
+    flat_x, tree_x = jax.tree.flatten(g_x)
+    flat_k, tree_k = jax.tree.flatten(g_k)
+    assert tree_x == tree_k
+    for a, b in zip(flat_x, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_forward_parity_bf16():
+    cfg = CFG
+    params = init_smin_params(jax.random.PRNGKey(1), cfg)
+    f, fw, fs, qmask, lmask = _inputs(cfg, seed=3)
+    bf = jnp.bfloat16
+    f, fw, fs = f.astype(bf), fw.astype(bf), fs.astype(bf)
+    vmask = packed_valid_mask(lmask).astype(bf)
+    fc, fm, fb = proposal_features_packed(f, lmask, cfg.L, cfg.C)
+
+    fm_x, fb_x = _xla_stack(params, cfg, fc, fm, fb, fw, fs, qmask, lmask,
+                            vmask)
+    fm_k, fb_k = _fused_stack(params, cfg, fc, fm, fb, fw, fs, qmask, lmask,
+                              vmask)
+    # bf16 rounding diverges between the two op orderings and compounds
+    # through the recurrent layers; features are unbounded, so bound the
+    # error in bulk relative to the feature scale (same policy as the
+    # serving kernel's bf16 test, which bounds [0,1] scores absolutely).
+    v3 = vmask.astype(jnp.float32)[..., None]
+    a = np.asarray(fm_k.astype(jnp.float32) * v3)
+    b = np.asarray(fm_x.astype(jnp.float32) * v3)
+    scale = np.abs(b).mean()
+    diff = np.abs(a - b)
+    assert diff.mean() < 0.02 * scale, (diff.mean(), scale)
+    assert np.quantile(diff, 0.98) < 0.1 * scale
+    assert diff.max() < 0.5 * scale

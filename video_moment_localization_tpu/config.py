@@ -73,6 +73,10 @@ class ModelConfig:
     # all SMI layers + heads in one VMEM-resident Pallas kernel on the
     # grad-free (eval/serving) path. Auto-gated on TPU + VMEM feasibility.
     fused_smi: bool = True
+    # Differentiable fused SMI stack on the TRAINING path
+    # (ops/smin_train_pallas.py): per-layer Pallas kernels with in-VMEM
+    # jax.vjp backward. Auto-gated on TPU + geometry feasibility.
+    fused_smi_train: bool = True
     # Reference-compatibility head: densify pm to (B, L, L) and run dense
     # loss/metrics with dense labels — bit-reproducing the reference's
     # top-k-over-tied-zeros eval quirk (PARITY.md #16). Default off: the
@@ -171,6 +175,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         remat_smi=bool(params.get("remat_smi", False)),
         fused_content=bool(params.get("fused_content", False)),
         fused_smi=bool(params.get("fused_smi", True)),
+        fused_smi_train=bool(params.get("fused_smi_train", True)),
         compat_head=bool(params.get("compat_head", False)),
     )
     return Config(

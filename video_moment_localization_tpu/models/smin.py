@@ -514,6 +514,19 @@ def smin_forward(
         vmask = packed_valid_mask(length_mask.astype(jnp.float32)).astype(dtype)
         fc, fm, fb = proposal_features_packed_auto(f, length_mask, cfg.L, cfg.C,
                                                    cfg.use_pallas)
+        if cfg.fused_smi_train and not cfg.compat_head:
+            from video_moment_localization_tpu.ops import smin_train_pallas
+            from video_moment_localization_tpu.ops.proposal import _on_tpu
+
+            if _on_tpu() and smin_train_pallas.supports_train(cfg):
+                # Differentiable fused SMI stack: per-layer Pallas kernels
+                # with in-VMEM jax.vjp backward (ops/smin_train_pallas.py).
+                fm, fb = smin_train_pallas.smin_smi_stack_train(
+                    params, cfg, fc, fm, fb, fw, fs, query_mask,
+                    length_mask, vmask)
+                return localization_packed(params["localization"], fm, fb,
+                                           length_mask, vmask, cfg.L,
+                                           dense_out=cfg.compat_head)
         fused_content = False
         if cfg.fused_content:
             from video_moment_localization_tpu.ops import content_pallas

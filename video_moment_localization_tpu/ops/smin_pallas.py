@@ -128,28 +128,38 @@ def _geometry_bb(T: int, L: int, C: int, BB: int):
     )
 
 
-def supports(cfg_or_L, C: int | None = None, D: int | None = None) -> bool:
+def supports(cfg_or_L, C: int | None = None, D: int | None = None,
+             itemsize: int = 2) -> bool:
     """VMEM feasibility at BB=1: the working set (~2.5x the resident fc/cu/
     fm buffers, covering f32 transients) must fit the raised 100 MB VMEM
     window, and the cell row count must not exceed the largest cell Mosaic
     has compiled here (ActivityNet NC=8320, compiled + measured 1.25x over
     XLA at B=512 — scripts/probe_fused_scales.py). All three flagship maps
-    pass: Charades NC=544, TACoS NC=2112, ActivityNet NC=8320. Mirrors
-    `_pick_bb`'s bb=1 admission test so supports() == (_pick_bb finds a
-    BB)."""
+    pass at bf16: Charades NC=544, TACoS NC=2112, ActivityNet NC=8320.
+    `itemsize` is the ACTIVATION dtype's: fp32 costs ~4x bf16 per element
+    (measured 112 MB at TACoS BB=2 fp32 vs ~60 MB at BB=4 bf16 — the f32
+    transients the x2.5 margin hid at bf16 dominate at fp32, hence the
+    quadratic itemsize scaling), quartering the admitted BB and rejecting
+    ActivityNet fp32 outright. When a config is passed, itemsize derives
+    from its compute_dtype. Mirrors `_pick_bb`'s bb=1 admission test so
+    supports() == (_pick_bb finds a BB)."""
     if C is None:
+        import numpy as np
+
         L, C, D = cfg_or_L.L, cfg_or_L.C, cfg_or_L.D
+        itemsize = np.dtype(cfg_or_L.compute_dtype).itemsize
     else:
         L = cfg_or_L
     N = L * (L + 1) // 2
-    per_elem = 2 * N * C * D * 2 + 6 * N * D  # fc/cu bf16 + fm/fbar f32-ish
+    per_elem = (N * C * D * 2 + 3 * N * D) * itemsize * itemsize // 2
     return int(2.5 * per_elem) <= 80_000_000 and N * C <= _MAX_CELL_ROWS
 
 
-def _pick_bb(B: int, L: int, C: int, D: int) -> int:
+def _pick_bb(B: int, L: int, C: int, D: int, itemsize: int = 2) -> int:
     """Batch elements per grid cell. Larger BB amortizes per-cell pipeline
     overhead; the ~100 MB raised VMEM budget bounds it (measured ~6.6 MB
-    VMEM per element at Charades scale + ~13 MB resident weights)."""
+    VMEM per element at Charades scale bf16 + ~13 MB resident weights;
+    fp32 activations cost ~4x per element — see supports)."""
     import os
 
     force = os.environ.get("VML_SMIN_BB")
@@ -162,7 +172,7 @@ def _pick_bb(B: int, L: int, C: int, D: int) -> int:
             )
         return bb
     N = L * (L + 1) // 2
-    per_elem = 2 * N * C * D * 2 + 6 * N * D  # ~40% of true peak; x2.5 below
+    per_elem = (N * C * D * 2 + 3 * N * D) * itemsize * itemsize // 2
     for bb in (8, 4, 2, 1):
         # Row cap: largest cell Mosaic has compiled here is ActivityNet
         # BB=1 (8320 rows). The unrolled-body era's 4.4k cap (compile OOM
@@ -171,6 +181,244 @@ def _pick_bb(B: int, L: int, C: int, D: int) -> int:
                 and bb * N * C <= _MAX_CELL_ROWS):
             return bb
     return 1
+
+
+def _block_keep(rows: int, rdiv: int, cols: int, cdiv: int, col_valid):
+    """Static block-diagonal keep-mask for BB-batched attention: row element
+    id must equal column element id, and the column must be a valid
+    token/snippet of that element (col_valid: (1, cols) 0/1 lanes)."""
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // rdiv
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // cdiv
+    return jnp.logical_and(r_id == c_id, col_valid > 0)
+
+
+def _mean_over_c(x_rows, BB: int, N: int, C: int, D: int):
+    """(BB*NC, D) c-major -> (BB*N, D) mean over the C clip rows of each
+    pair. Clip c of every pair is one contiguous (N, D) block per element
+    (a free reshape), so the reduce is over a leading axis — no stride-C
+    sublane gathers (which Mosaic lowers as relayouts — the n-major
+    kernel's cost), and no sublane slices whose transpose (pad/concat)
+    Mosaic can't lower (the training kernel differentiates this body)."""
+    f32 = jnp.float32
+    x4 = x_rows.reshape(BB, C, N, D)
+    acc = x4[:, 0].astype(f32)
+    for e in range(1, C):
+        acc = acc + x4[:, e].astype(f32)
+    return acc.reshape(BB * N, D) * (1.0 / C)
+
+
+def smi_layer_rows(fc, fm, f_b, fw_rows, fs_rows, cw, cb, bwm, bbv, mwm, mbv,
+                   *, sel_i, sel_j, rsum, qkeep_nc, qkeep_l, lkeep,
+                   mcol, mrow, lrow, BB: int, N: int, L: int, C: int,
+                   Nq: int, D: int, dl: int, prec, ablate: str = "",
+                   xpose_safe: bool = False):
+    """One SMI layer over c-major packed rows — the shared kernel math.
+
+    Pure jnp function of VMEM-resident values: the serving kernel's
+    fori_loop body calls it per layer, and the training kernels
+    (ops/smin_train_pallas.py) reuse it both forward and — via jax.vjp
+    traced *inside* the backward kernel — for the in-VMEM layer gradient.
+    The first 11 arguments are the differentiable leaves (activations +
+    this layer's stacked weights); everything mask/geometry is keyword.
+
+    Semantics: reference models.py:228-276 (ContentUnit), :156-196
+    (BoundaryUnit), :278-303 (MomentUnit) over the packed pair layout —
+    identical math to models/smin.py smi_block_packed at bf16 tolerance.
+    """
+    f32 = jnp.float32
+    w = fc.dtype
+    NC = N * C
+    inv_sd = 1.0 / math.sqrt(D)
+    inv_sdl = 1.0 / math.sqrt(dl)
+
+    # ``xpose_safe``: the training kernels differentiate this body with an
+    # in-kernel jax.vjp, and Mosaic cannot lower the TRANSPOSE of a
+    # sublane-axis broadcast (the sublane reduction materializes a
+    # replicated layout it refuses to relayout). In safe mode the two
+    # broadcast families — bias rows over all rows, and per-element fs/fsh
+    # rows over each element's row block — are expressed as tiny ones /
+    # one-hot matmuls instead: their transposes are matmuls (MXU), which
+    # always lower. Numerics are identical (1.0/0.0 weights, f32
+    # accumulation); the serving kernel keeps the plain broadcasts.
+    def badd(x, b):
+        if not xpose_safe:
+            return x + b
+        ones = jnp.ones((x.shape[0], 1), f32)
+        return x + jnp.dot(ones, b, preferred_element_type=f32)
+
+    def expand(x32, per):
+        """(BB, d) f32 -> (BB*per, d): row b*per + p = x32[b]."""
+        if xpose_safe:
+            r = jax.lax.broadcasted_iota(jnp.int32, (BB * per, BB), 0) // per
+            c = jax.lax.broadcasted_iota(jnp.int32, (BB * per, BB), 1)
+            e = (r == c).astype(f32)
+            return jnp.dot(e, x32, preferred_element_type=f32)
+        d = x32.shape[-1]
+        return jnp.broadcast_to(x32[:, None, :], (BB, per, d)).reshape(
+            BB * per, d)
+
+    # shared gated moment message fbar = sigmoid(fm * fs) * fm
+    fm32 = fm.astype(f32)
+    fsN = expand(fs_rows.astype(f32), N)             # (BB*N, D)
+    fbar32 = jax.nn.sigmoid(fm32 * fsN) * fm32
+    fbar = fbar32.astype(w)                          # (BB*N, D)
+
+    # ---------------- ContentUnit ---------------- #
+    # Weights stacked along ROWS (every slice at lane offset 0 —
+    # Mosaic rejects lane-offset slices feeding broadcasts/matmuls):
+    # cw rows = [c_hat(D) | w_hat(D) | s_hat(D) | attn_q(dl) |
+    #            attn_k(dl) | c_out(dl)], width max(D, dl).
+    cb = cb.astype(f32)
+    bbv = bbv.astype(f32)
+    mbv = mbv.astype(f32)
+    c_hat_w = cw[0:D, 0:dl]
+    w_hat_w = cw[D : 2 * D, 0:dl]
+    s_hat_w = cw[2 * D : 3 * D, 0:dl]
+    attn_q_w = cw[3 * D : 3 * D + dl, 0:dl]
+    attn_k_w = cw[3 * D + dl : 3 * D + 2 * dl, 0:dl]
+    c_out_w = cw[3 * D + 2 * dl : 3 * D + 3 * dl, 0:D]   # (dl, D)
+    c_hat_b = cb[0:1, 0:dl]
+    w_hat_b = cb[1:2, 0:dl]
+    s_hat_b = cb[2:3, 0:dl]
+    attn_q_b = cb[3:4, 0:dl]
+    attn_k_b = cb[4:5, 0:dl]
+    c_out_b = cb[5:6, 0:D]
+
+    # NB: intermediate mask multiplies are dropped relative to the XLA
+    # path: inside a pair the C rows share validity and no op mixes
+    # pairs, so masking once at `cu` is equivalent for every valid
+    # output (invalid rows carry finite bias-derived garbage). Padding
+    # word tokens are excluded by the attention mask, so masking fwh
+    # itself is also redundant.
+    h32 = badd(jnp.dot(fc, c_hat_w, preferred_element_type=f32,
+                       precision=prec), c_hat_b)     # (BB*NC, dl) f32
+    h = h32.astype(w)
+
+    fwh32 = badd(jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32,
+                         precision=prec), w_hat_b)
+    fwh = fwh32.astype(w)
+    khat = badd(jnp.dot(fwh, attn_k_w, preferred_element_type=f32,
+                        precision=prec), attn_k_b).astype(w)  # (BB*Nq, dl)
+    fsh = badd(jnp.dot(fs_rows, s_hat_w, preferred_element_type=f32,
+                       precision=prec), s_hat_b)     # (BB, dl) f32
+
+    if "noattn" in ablate:
+        f_caq = h32
+    else:
+        q = badd(jnp.dot(h, attn_q_w, preferred_element_type=f32,
+                         precision=prec), attn_q_b).astype(w)  # (BB*NC, dl)
+        logits = jax.lax.dot_general(
+            q, khat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ) * inv_sdl                                  # (BB*NC, BB*Nq)
+        logits = jnp.where(qkeep_nc, logits, _NEG_INF)
+        attn = jax.nn.softmax(logits, axis=-1).astype(w)
+        f_caq = jnp.dot(attn, fwh, preferred_element_type=f32, precision=prec)
+
+    f_cq32 = h32 * (f_caq + expand(fsh, NC))
+
+    if "nocc" in ablate:
+        f_cc_hat = f_cq32.astype(w)
+    else:
+        # intra-moment C x C clip attention on the VPU. c-major rows make
+        # clip i of every pair one contiguous (N, dl) block per element (a
+        # free reshape to (BB, C, N, dl) — leading axes are unrolled, the
+        # tiled minors stay (N, dl)). The C^2 dot products, the hand-rolled
+        # softmax over the j list, and the A_c @ h mix are elementwise ops
+        # + lane reductions on (BB, N, {1, dl}) tensors — no stride-C
+        # sublane slices, no lane-dim slice/concat, and no small-minor 4-D
+        # tensors, all of which Mosaic either relayouts (slow) or cannot
+        # transpose (the training kernel differentiates this body via
+        # in-kernel jax.vjp).
+        g4 = f_cq32.reshape(BB, C, N, dl)
+        h4 = h32.reshape(BB, C, N, dl)
+        gl = [g4[:, e] for e in range(C)]             # (BB, N, dl) each
+        hl = [h4[:, e] for e in range(C)]
+        sim = [[(gl[i] * gl[j]).sum(-1, keepdims=True) * inv_sdl
+                for j in range(C)] for i in range(C)]  # (BB, N, 1) each
+        out = []
+        for i in range(C):
+            m = sim[i][0]
+            for j in range(1, C):
+                m = jnp.maximum(m, sim[i][j])
+            e = [jnp.exp(sim[i][j] - m) for j in range(C)]
+            s = e[0]
+            for j in range(1, C):
+                s = s + e[j]
+            inv_s = 1.0 / s
+            acc = (e[0] * inv_s) * hl[0]
+            for j in range(1, C):
+                acc = acc + (e[j] * inv_s) * hl[j]
+            out.append(acc)                            # (BB, N, dl) f32
+        f_cc_hat = jnp.stack(out, axis=1).reshape(BB * NC, dl).astype(w)
+
+    f_cc = badd(jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32,
+                        precision=prec), c_out_b)
+    # fbar broadcast to c-major rows: C copies of the (N, D) per-pair
+    # message per element (broadcast, not concat — clean transpose).
+    fbar_rows = jnp.broadcast_to(
+        fbar.reshape(BB, 1, N, D), (BB, C, N, D)).reshape(BB * NC, D)
+    cu = (f_cc.astype(w) + fc + fbar_rows) * mcol.astype(w)
+
+    # ---------------- BoundaryUnit ---------------- #
+    # bwm = [attn_q (D, D) | attn_k (D, D)] stacked on rows
+    b_q_w = bwm[:D, :]
+    b_k_w = bwm[D : 2 * D, :]
+    b_q_b = bbv[0:1, :]
+    b_k_b = bbv[1:2, :]
+
+    if "nobu" in ablate:
+        bu = f_b
+    else:
+        bu = None
+    bq_all = badd(jnp.dot(f_b, b_q_w, preferred_element_type=f32,
+                          precision=prec), b_q_b).astype(w)   # (BB*L, D)
+    bk_all = badd(jnp.dot(fw_rows, b_k_w, preferred_element_type=f32,
+                          precision=prec), b_k_b).astype(w)   # (BB*Nq, D)
+    blog = jax.lax.dot_general(
+        bq_all, bk_all, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ) * inv_sd                                       # (BB*L, BB*Nq)
+    blog = jnp.where(qkeep_l, blog, _NEG_INF)
+    f_baq = jnp.dot(jax.nn.softmax(blog, axis=-1).astype(w), fw_rows,
+                    preferred_element_type=f32, precision=prec)               # (BB*L, D)
+    f_bq = (f_b.astype(f32)
+            * (f_baq + expand(fs_rows.astype(f32), L))).astype(w)
+    ab_log = jax.lax.dot_general(
+        f_bq, f_bq, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ) * inv_sd                                       # (BB*L, BB*L)
+    ab_log = jnp.where(lkeep, ab_log, _NEG_INF)
+    A_b = jax.nn.softmax(ab_log, axis=-1) * lrow     # cross blocks -> 0
+    A_bw = A_b.astype(w)
+    f_bb = jnp.dot(A_bw, f_b, preferred_element_type=f32, precision=prec) * lrow
+    # pair gather A_bp[n, b] = A_b[(b, i_n), (b, j_n)] via the kron'd
+    # one-hots: one matmul + a lane reduction, no 2-D gather.
+    rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32, precision=prec)
+    A_bp = jnp.sum(rows_i * sel_j.astype(f32), axis=-1,
+                   keepdims=True)                    # (BB*N, 1)
+    msg = (A_bp * fbar32).astype(w)                  # (BB*N, D)
+    f_bm = jnp.dot(rsum, msg, preferred_element_type=f32, precision=prec)     # (BB*L, D)
+    if bu is None:
+        bu = (f_bb + f_b.astype(f32) + f_bm).astype(w)        # (BB*L, D)
+
+    # ---------------- MomentUnit ---------------- #
+    # mwm = [conv_fb (D, D) | conv_fc (D, D)] stacked on rows
+    m_fb_w = mwm[:D, :]
+    m_fc_w = mwm[D : 2 * D, :]
+    m_fb_b = mbv[0:1, :]
+    m_fc_b = mbv[1:2, :]
+    outer = (jnp.dot(sel_i, bu, preferred_element_type=f32, precision=prec)
+             * jnp.dot(sel_j, bu, preferred_element_type=f32, precision=prec)
+             ).astype(w)                             # (BB*N, D)
+    conv_fb = badd(jnp.dot(outer, m_fb_w, preferred_element_type=f32,
+                           precision=prec), m_fb_b)
+    cu_mean = _mean_over_c(cu, BB, N, C, D).astype(w)
+    conv_fc = badd(jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32,
+                           precision=prec), m_fc_b)
+    mu = (((conv_fb + conv_fc) * mrow) + fm.astype(f32)).astype(w)
+
+    return cu, mu, bu
 
 
 def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
@@ -215,17 +463,10 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     fw_rows = fw_ref[:].reshape(BB * Nq, D)              # (BB*Nq, D) bf16
     fs_rows = fs_ref[:].reshape(BB, D)                   # (BB, D) bf16
 
-    # Static block-diagonal keep-masks (hoisted out of the layer loop):
-    # row element id must equal column element id, and the column must be a
-    # valid token/snippet of that element.
-    def block_keep(rows, rdiv, cols, cdiv, col_valid):
-        r_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // rdiv
-        c_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // cdiv
-        return jnp.logical_and(r_id == c_id, col_valid > 0)
-
-    qkeep_nc = block_keep(BB * NC, NC, BB * Nq, Nq, qflat)   # content attn
-    qkeep_l = block_keep(BB * L, L, BB * Nq, Nq, qflat)      # boundary attn
-    lkeep = block_keep(BB * L, L, BB * L, L, lflat)          # A_b
+    # Static block-diagonal keep-masks (hoisted out of the layer loop).
+    qkeep_nc = _block_keep(BB * NC, NC, BB * Nq, Nq, qflat)  # content attn
+    qkeep_l = _block_keep(BB * L, L, BB * Nq, Nq, qflat)     # boundary attn
+    lkeep = _block_keep(BB * L, L, BB * L, L, lflat)         # A_b
 
     # ---------------- proposal pooling (all static matmuls) -------------- #
     wc = wc_ref[:]                                       # (NC, T) bf16
@@ -239,191 +480,30 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     fc = (jnp.concatenate(fc_parts, axis=0) * mcol).astype(w)   # (BB*NC, D)
     f_b = jnp.concatenate(fb_parts, axis=0).astype(w)           # (BB*L, D)
 
-    def mean_over_c(x_rows):
-        """(BB*NC, D) c-major -> (BB*N, D) mean over the C clip rows of each
-        pair. Clip c of every pair is one contiguous (N, D) block per
-        element: static block slices, no stride-C sublane gathers (which
-        Mosaic lowers as relayouts — the n-major kernel's cost)."""
-        x3 = x_rows.reshape(BB, C * N, D)
-        acc = x3[:, 0:N, :].astype(f32)
-        for e in range(1, C):
-            acc = acc + x3[:, e * N : (e + 1) * N, :].astype(f32)
-        return acc.reshape(BB * N, D) * (1.0 / C)
-
-    fm = (mean_over_c(fc) * mrow).astype(w)                     # (BB*N, D)
+    fm = (_mean_over_c(fc, BB, N, C, D) * mrow).astype(w)       # (BB*N, D)
 
     sel_i = seli_ref[:]                                  # (BB*N, BB*L) bf16
     sel_j = selj_ref[:]
     rsum = rsum_ref[:]                                   # (BB*L, BB*N)
 
     def layer_body(layer, carry):
-        # One SMI layer. Compiled ONCE and iterated with lax.fori_loop —
-        # the static Python unroll it replaces made Mosaic compile the
-        # (large) layer body n_layers times, which pushed cold compiles to
-        # tens of minutes and OOM-killed the compile at TACoS BB=4 cell
-        # sizes (round-2 VERDICT weak #1/#2).
+        # One SMI layer (the shared `smi_layer_rows`). Compiled ONCE and
+        # iterated with lax.fori_loop — the static Python unroll it
+        # replaces made Mosaic compile the (large) layer body n_layers
+        # times, which pushed cold compiles to tens of minutes and
+        # OOM-killed the compile at TACoS BB=4 cell sizes (round-2 VERDICT
+        # weak #1/#2).
         fc, fm, f_b = carry
-        cw = cw_ref[layer]
-        cb = cb_ref[layer].astype(f32)
-        bwm = bw_ref[layer]
-        bbv = bb_ref[layer].astype(f32)
-        mwm = mw_ref[layer]
-        mbv = mb_ref[layer].astype(f32)
-
-        # shared gated moment message fbar = sigmoid(fm * fs) * fm
-        fm32 = fm.astype(f32)
-        fm3 = fm32.reshape(BB, N, D)
-        fbar32 = (jax.nn.sigmoid(fm3 * fs_rows.astype(f32)[:, None, :])
-                  * fm3).reshape(BB * N, D)
-        fbar = fbar32.astype(w)                          # (BB*N, D)
-
-        # ---------------- ContentUnit ---------------- #
-        # Weights stacked along ROWS (every slice at lane offset 0 —
-        # Mosaic rejects lane-offset slices feeding broadcasts/matmuls):
-        # cw rows = [c_hat(D) | w_hat(D) | s_hat(D) | attn_q(dl) |
-        #            attn_k(dl) | c_out(dl)], width max(D, dl).
-        c_hat_w = cw[0:D, 0:dl]
-        w_hat_w = cw[D : 2 * D, 0:dl]
-        s_hat_w = cw[2 * D : 3 * D, 0:dl]
-        attn_q_w = cw[3 * D : 3 * D + dl, 0:dl]
-        attn_k_w = cw[3 * D + dl : 3 * D + 2 * dl, 0:dl]
-        c_out_w = cw[3 * D + 2 * dl : 3 * D + 3 * dl, 0:D]   # (dl, D)
-        c_hat_b = cb[0:1, 0:dl]
-        w_hat_b = cb[1:2, 0:dl]
-        s_hat_b = cb[2:3, 0:dl]
-        attn_q_b = cb[3:4, 0:dl]
-        attn_k_b = cb[4:5, 0:dl]
-        c_out_b = cb[5:6, 0:D]
-
-        # NB: intermediate mask multiplies are dropped relative to the XLA
-        # path: inside a pair the C rows share validity and no op mixes
-        # pairs, so masking once at `cu` is equivalent for every valid
-        # output (invalid rows carry finite bias-derived garbage). Padding
-        # word tokens are excluded by the attention mask, so masking fwh
-        # itself is also redundant.
-        h32 = (jnp.dot(fc, c_hat_w, preferred_element_type=f32, precision=prec)
-               + c_hat_b)                                # (BB*NC, dl) f32
-        h = h32.astype(w)
-
-        fwh32 = jnp.dot(fw_rows, w_hat_w, preferred_element_type=f32, precision=prec) + w_hat_b
-        fwh = fwh32.astype(w)
-        khat = (jnp.dot(fwh, attn_k_w, preferred_element_type=f32, precision=prec)
-                + attn_k_b).astype(w)                    # (BB*Nq, dl)
-        fsh = (jnp.dot(fs_rows, s_hat_w, preferred_element_type=f32, precision=prec)
-               + s_hat_b)                                # (BB, dl) f32
-
-        if "noattn" in ablate:
-            f_caq = h32
-        else:
-            q = (jnp.dot(h, attn_q_w, preferred_element_type=f32, precision=prec)
-                 + attn_q_b).astype(w)                   # (BB*NC, dl)
-            logits = jax.lax.dot_general(
-                q, khat, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=prec,
-            ) * inv_sdl                                  # (BB*NC, BB*Nq)
-            logits = jnp.where(qkeep_nc, logits, _NEG_INF)
-            attn = jax.nn.softmax(logits, axis=-1).astype(w)
-            f_caq = jnp.dot(attn, fwh, preferred_element_type=f32, precision=prec)
-
-        f_cq32 = h32 * (f_caq.reshape(BB, NC, dl)
-                        + fsh[:, None, :]).reshape(BB * NC, dl)
-
-        if "nocc" in ablate:
-            f_cc_hat = f_cq32.astype(w)
-        else:
-            # intra-moment C x C clip attention on the VPU. c-major rows
-            # make clip i of every pair one contiguous (N, dl) block per
-            # element, so the C^2 dot products and the A_c @ h mix are
-            # elementwise ops + lane reductions over aligned blocks — no
-            # stride-C sublane slices.
-            g = f_cq32.reshape(BB, C * N, dl)
-            hh = h32.reshape(BB, C * N, dl)
-            gblk = [g[:, e * N : (e + 1) * N, :] for e in range(C)]
-            hblk = [hh[:, e * N : (e + 1) * N, :] for e in range(C)]
-            sim_rows = []
-            for i in range(C):
-                cols = [jnp.sum(gblk[i] * gblk[j], axis=-1, keepdims=True)
-                        for j in range(C)]                # (BB, N, 1) each
-                sim_rows.append(jnp.concatenate(cols, axis=-1))   # (BB, N, C)
-            sim = (jnp.concatenate(sim_rows, axis=1)
-                   .reshape(BB * NC, C) * inv_sdl)        # c-major rows
-            a3 = jax.nn.softmax(sim, axis=-1).reshape(BB, C * N, C)
-            out_rows = []
-            for i in range(C):
-                ai = a3[:, i * N : (i + 1) * N, :]        # (BB, N, C)
-                acc = ai[..., 0:1] * hblk[0]
-                for j in range(1, C):
-                    acc = acc + ai[..., j : j + 1] * hblk[j]
-                out_rows.append(acc)                      # (BB, N, dl) f32
-            f_cc_hat = (jnp.concatenate(out_rows, axis=1)
-                        .reshape(BB * NC, dl).astype(w))
-
-        f_cc = jnp.dot(f_cc_hat, c_out_w, preferred_element_type=f32, precision=prec) + c_out_b
-        # fbar broadcast to c-major rows: C stacked copies of the (N, D)
-        # per-pair message per element.
-        fbar_rows = jnp.concatenate(
-            [fbar.reshape(BB, N, D)] * C, axis=1).reshape(BB * NC, D)
-        cu = (f_cc.astype(w) + fc + fbar_rows) * mcol.astype(w)
-
-        # ---------------- BoundaryUnit ---------------- #
-        # bwm = [attn_q (D, D) | attn_k (D, D)] stacked on rows
-        b_q_w = bwm[:D, :]
-        b_k_w = bwm[D : 2 * D, :]
-        b_q_b = bbv[0:1, :]
-        b_k_b = bbv[1:2, :]
-
-        if "nobu" in ablate:
-            bu = f_b
-        else:
-            bu = None
-        bq_all = (jnp.dot(f_b, b_q_w, preferred_element_type=f32, precision=prec)
-                  + b_q_b).astype(w)                     # (BB*L, D)
-        bk_all = (jnp.dot(fw_rows, b_k_w, preferred_element_type=f32, precision=prec)
-                  + b_k_b).astype(w)                     # (BB*Nq, D)
-        blog = jax.lax.dot_general(
-            bq_all, bk_all, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=prec,
-        ) * inv_sd                                       # (BB*L, BB*Nq)
-        blog = jnp.where(qkeep_l, blog, _NEG_INF)
-        f_baq = jnp.dot(jax.nn.softmax(blog, axis=-1).astype(w), fw_rows,
-                        preferred_element_type=f32, precision=prec)               # (BB*L, D)
-        f_bq = (f_b.astype(f32).reshape(BB, L, D)
-                * (f_baq.reshape(BB, L, D)
-                   + fs_rows.astype(f32)[:, None, :])
-                ).reshape(BB * L, D).astype(w)
-        ab_log = jax.lax.dot_general(
-            f_bq, f_bq, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=prec,
-        ) * inv_sd                                       # (BB*L, BB*L)
-        ab_log = jnp.where(lkeep, ab_log, _NEG_INF)
-        A_b = jax.nn.softmax(ab_log, axis=-1) * lrow     # cross blocks -> 0
-        A_bw = A_b.astype(w)
-        f_bb = jnp.dot(A_bw, f_b, preferred_element_type=f32, precision=prec) * lrow
-        # pair gather A_bp[n, b] = A_b[(b, i_n), (b, j_n)] via the kron'd
-        # one-hots: one matmul + a lane reduction, no 2-D gather.
-        rows_i = jnp.dot(sel_i, A_bw, preferred_element_type=f32, precision=prec)
-        A_bp = jnp.sum(rows_i * sel_j.astype(f32), axis=-1,
-                       keepdims=True)                    # (BB*N, 1)
-        msg = (A_bp * fbar32).astype(w)                  # (BB*N, D)
-        f_bm = jnp.dot(rsum, msg, preferred_element_type=f32, precision=prec)     # (BB*L, D)
-        if bu is None:
-            bu = (f_bb + f_b.astype(f32) + f_bm).astype(w)        # (BB*L, D)
-
-        # ---------------- MomentUnit ---------------- #
-        # mwm = [conv_fb (D, D) | conv_fc (D, D)] stacked on rows
-        m_fb_w = mwm[:D, :]
-        m_fc_w = mwm[D : 2 * D, :]
-        m_fb_b = mbv[0:1, :]
-        m_fc_b = mbv[1:2, :]
-        outer = (jnp.dot(sel_i, bu, preferred_element_type=f32, precision=prec)
-                 * jnp.dot(sel_j, bu, preferred_element_type=f32, precision=prec)
-                 ).astype(w)                             # (BB*N, D)
-        conv_fb = jnp.dot(outer, m_fb_w, preferred_element_type=f32, precision=prec) + m_fb_b
-        cu_mean = mean_over_c(cu).astype(w)
-        conv_fc = jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32, precision=prec) + m_fc_b
-        mu = (((conv_fb + conv_fc) * mrow) + fm.astype(f32)).astype(w)
-
-        return cu, mu, bu
+        return smi_layer_rows(
+            fc, fm, f_b, fw_rows, fs_rows,
+            cw_ref[layer], cb_ref[layer], bw_ref[layer], bb_ref[layer],
+            mw_ref[layer], mb_ref[layer],
+            sel_i=sel_i, sel_j=sel_j, rsum=rsum,
+            qkeep_nc=qkeep_nc, qkeep_l=qkeep_l, lkeep=lkeep,
+            mcol=mcol, mrow=mrow, lrow=lrow,
+            BB=BB, N=N, L=L, C=C, Nq=Nq, D=D, dl=dl, prec=prec,
+            ablate=ablate,
+        )
 
     fc, fm, f_b = jax.lax.fori_loop(0, n_layers, layer_body, (fc, fm, f_b))
 
@@ -514,7 +594,7 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
     dtype = f.dtype
     f32 = jnp.float32
 
-    BB = _pick_bb(B, L, C, D)
+    BB = _pick_bb(B, L, C, D, itemsize=jnp.dtype(dtype).itemsize)
     wc, wb, sel_i, sel_j, rsum = _geometry_bb(T, L, C, BB)
 
     # c-major rows (see _geometry): mcol row (c*N + n) masks pair n -> tile.
