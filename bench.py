@@ -74,9 +74,21 @@ BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
 B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 256))
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
+# The train chain scans the WHOLE train step (fwd+bwd+Adam) K times inside
+# one jit; the remote AOT compile time scales with the scanned body, so
+# the train chain uses a smaller K (timing precision is unaffected: one
+# chain still runs ~0.2 s on chip).
+K_TRAIN = int(os.environ.get("VML_BENCH_K_TRAIN", 4))
 WALL_ITERS = 8
 # Wall-clock ceiling for the whole bench; phase B gets what is left.
-BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 840))
+# One remote AOT compile of a B=6144 program costs ~5-6 min in this
+# environment and the compile cache does not hit across tunnel sessions,
+# so the ceiling covers phase A's serving compile plus the fused probe's
+# 4 programs (~13-17 min total when the two processes contend for the one
+# host core). The round-2 driver's capture allowed >27 min before
+# killing; a SIGTERM handler emits the best-so-far JSON if the ceiling is
+# ever exceeded anyway.
+BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 1500))
 _T0 = time.perf_counter()
 
 # Peak matmul throughput for MFU context. TPU v5e: ~197 TFLOP/s bf16.
@@ -84,12 +96,24 @@ _T0 = time.perf_counter()
 PEAK_FLOPS = float(os.environ.get("VML_PEAK_FLOPS", 197e12))
 
 _RESULT: dict | None = None  # best-so-far, printed by the signal handler
+_PROBE_PROC = None           # fused-probe subprocess, killed on SIGTERM
 
 
 def _emit_and_exit(signum=None, frame=None):
+    if _PROBE_PROC is not None and _PROBE_PROC.poll() is None:
+        try:
+            _PROBE_PROC.kill()
+        except Exception:
+            pass
     if _RESULT is not None:
         print(json.dumps(_RESULT), flush=True)
     os._exit(0 if _RESULT is not None else 1)
+
+
+def _progress(msg: str) -> None:
+    """Timestamped progress line on stderr (stdout carries only the JSON)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _timed_fetch(fn, *args):
@@ -166,8 +190,8 @@ def _measure_serving(cfg, params, arrays, sm, wall: bool = True):
     return onchip, wall_pairs, chain_dt
 
 
-def _measure_train(cfg, params):
-    """K-chained train-step device throughput (samples/s) at B_TRAIN."""
+def _make_train_chain(cfg, params):
+    """Build the K_TRAIN-chained train-step program + its args."""
     import optax
 
     from __graft_entry__ import _synthetic_arrays
@@ -210,33 +234,71 @@ def _measure_train(cfg, params):
             p_, o_, loss = one_step(p_, o_)
             return (p_, o_), loss
 
-        (p, o), losses = jax.lax.scan(body, (p, o), None, length=K_CHAIN)
+        (p, o), losses = jax.lax.scan(body, (p, o), None, length=K_TRAIN)
         return losses[-1]
 
-    np.asarray(train_chain(params, opt_state))  # compile
-    train_dt = _timed_fetch(train_chain, params, opt_state)
-    return K_CHAIN * B_TRAIN / train_dt, train_dt
+    return train_chain, (params, opt_state)
+
+
+def _measure_train(cfg, params):
+    """K_TRAIN-chained train-step device throughput (samples/s) at B_TRAIN."""
+    train_chain, targs = _make_train_chain(cfg, params)
+    np.asarray(train_chain(*targs))  # compile
+    train_dt = _timed_fetch(train_chain, *targs)
+    return K_TRAIN * B_TRAIN / train_dt, train_dt
 
 
 def _fused_probe() -> None:
-    """Subprocess mode: measure the fused-kernel serving AND training paths
-    (slow Mosaic compiles happen here, under the parent's timeout), print
-    one JSON line per completed measurement (parent takes the last)."""
+    """Subprocess mode: measure the fused-kernel serving AND training paths.
+
+    The slow Mosaic/AOT compiles happen here, OVERLAPPED with the parent's
+    phase-A compiles (launched together; remote compiles don't occupy the
+    chip). TIMING is serialized against the parent through a gate file
+    (``VML_PROBE_GATE``): the probe compiles everything first, then waits
+    for the parent to finish its own timings before timing. One JSON line
+    is printed per completed measurement so partial results survive a
+    mid-probe timeout (the parent takes the last line)."""
     from __graft_entry__ import _charades_cfg
 
     cfg = _charades_cfg()  # fused_smi/fused_smi_train=True defaults
     params, arrays, sm = _setup(cfg)
     out = {"phase": "fused"}
-    onchip, wall_pairs, chain_dt = _measure_serving(cfg, params, arrays, sm)
-    out.update({"onchip_pairs": onchip, "wall_pairs": wall_pairs,
+
+    # ---- compile everything (runs each program once) ----
+    _progress("probe: compiling fused serving chain")
+    _, score_chain = _make_score_chain(cfg)
+    args = (params, *arrays, sm)
+    np.asarray(score_chain(*args))
+    _progress("probe: compiling fused train chain")
+    train_fn, train_args = _make_train_chain(cfg, params)
+    train_compiled = True
+    try:
+        np.asarray(train_fn(*train_args))
+    except Exception:
+        train_compiled = False
+    _progress(f"probe: compiles done (train_compiled={train_compiled})")
+    print(json.dumps({"phase": "fused", "compiled": True}), flush=True)
+
+    # ---- wait for the parent to release the chip for timing ----
+    gate = os.environ.get("VML_PROBE_GATE")
+    if gate:
+        deadline = time.time() + 600
+        while not os.path.exists(gate) and time.time() < deadline:
+            time.sleep(1.0)
+
+    chain_dt = _timed_fetch(score_chain, *args)
+    out.update({"onchip_pairs": K_CHAIN * B_SERVE / chain_dt,
                 "chain_dt": chain_dt})
     print(json.dumps(out), flush=True)
-    try:
-        train_sps, train_dt = _measure_train(cfg, params)
-        out.update({"train_sps": train_sps, "train_dt": train_dt})
-    except Exception:
-        pass
-    print(json.dumps(out), flush=True)
+    if train_compiled:
+        train_dt = _timed_fetch(train_fn, *train_args)
+        out.update({"train_sps": K_TRAIN * B_TRAIN / train_dt,
+                    "train_dt": train_dt})
+        print(json.dumps(out), flush=True)
+    # No per-call wall measurement here: its extra score_batch compile
+    # would keep the subprocess alive minutes past the useful lines and
+    # trip the parent's timeout. (Measured separately: 46.7k pairs/s wall
+    # for the fused path at B=6144.)
 
 
 def main() -> None:
@@ -254,10 +316,22 @@ def main() -> None:
     xla_cfg = dataclasses.replace(cfg, fused_smi=False, fused_smi_train=False)
     on_tpu = jax.default_backend().startswith(("tpu", "axon"))
 
-    # ---------------- phase A: XLA serving path (fast compile) ----------- #
+    # ---------------- phase A: XLA serving path ----------- #
+    # Every large program costs ~5-6 min of remote AOT compile on a good
+    # day (occasionally much worse — the compile server is shared) and
+    # the persistent cache does NOT hit across processes here (the tunnel
+    # session salts the key). The bench therefore runs strictly
+    # value-ordered with progress stamps on stderr, and the fused-kernel
+    # work happens in a killable subprocess with a guaranteed minimum
+    # window. An earlier design overlapped the probe's compiles with
+    # phase A's; the two processes' HLO lowering and remote compiles
+    # contend (1 host core, shared compile helper) and the worst case
+    # got WORSE — sequential is the stable shape.
+    _progress("phase A: compiling + timing the XLA serving chain")
     params, arrays, sm = _setup(xla_cfg)
     onchip_pairs, wall_pairs, chain_dt = _measure_serving(
-        xla_cfg, params, arrays, sm)
+        xla_cfg, params, arrays, sm, wall=False)
+    _progress(f"phase A done: {onchip_pairs:.0f} pairs/s (XLA)")
     serve_flops = smin_forward_flops(cfg, B_SERVE)
     serving_mfu = serve_flops * K_CHAIN / chain_dt / PEAK_FLOPS
 
@@ -276,7 +350,6 @@ def main() -> None:
         "value": round(onchip_pairs, 2),
         "unit": "pairs/s",
         "vs_baseline": round(onchip_pairs / BASELINE_PAIRS_PER_SEC, 2),
-        "wall_pairs_per_sec": round(wall_pairs, 2),
         "serving_mfu_pct": round(100 * serving_mfu, 2) if on_tpu else None,
         "serving_batch": B_SERVE,
         "train_batch": B_TRAIN,
@@ -284,38 +357,46 @@ def main() -> None:
         "note": note,
     }
 
-    # ---------------- phase A': soft-NMS serving variant ----------------- #
-    try:
-        _, nms_chain = _make_score_chain(xla_cfg, use_nms=True)
-        args = (params, *arrays, sm)
-        np.asarray(nms_chain(*args))
-        nms_dt = _timed_fetch(nms_chain, *args)
-        _RESULT["serving_nms_pairs_per_sec"] = round(
-            K_CHAIN * B_SERVE / nms_dt, 2)
-    except Exception:
-        _RESULT["serving_nms_pairs_per_sec"] = None
-
-    # ---------------- phase A'': training (XLA path) ---------------- #
-    train_sps, train_dt = _measure_train(xla_cfg, params)
+    # ---------------- phase B: join the fused probe (budgeted) ----------- #
+    # The XLA train chain is NOT measured up front: with a 1-core host the
+    # two processes' HLO lowering serializes, so every parent compile
+    # delays the probe 1:1. The probe carries the train number on success;
+    # the XLA train chain is the fallback (measured below only if needed).
     train_flops = smin_train_step_flops(cfg, B_TRAIN)
-    _RESULT["train_samples_per_sec_per_chip"] = round(train_sps, 2)
-    _RESULT["train_path"] = "xla"
-    _RESULT["train_mfu_pct"] = (
-        round(100 * train_flops * K_CHAIN / train_dt / PEAK_FLOPS, 2)
-        if on_tpu else None)
+    train_sps = 0.0
 
-    # ---------------- phase B: fused-kernel upgrade (budgeted) ----------- #
-    remaining = BUDGET_S - (time.perf_counter() - _T0) - 20
-    probe_timeout = float(os.environ.get("VML_BENCH_FUSED_TIMEOUT", remaining))
-    if on_tpu and probe_timeout >= 60:
+    def _remaining():
+        return BUDGET_S - (time.perf_counter() - _T0) - 20
+
+    if on_tpu and float(os.environ.get("VML_BENCH_FUSED_TIMEOUT", 1)) > 0:
+        global _PROBE_PROC
         try:
-            proc = subprocess.run(
+            # The probe always gets a useful minimum window even if phase A
+            # overran the nominal budget: the driver's kill arrives well
+            # after BUDGET_S, and the SIGTERM handler emits phase A's
+            # numbers if the worst case ever lands.
+            probe_timeout = float(os.environ.get(
+                "VML_BENCH_FUSED_TIMEOUT", max(_remaining(), 480)))
+            _progress(f"phase B: fused probe subprocess "
+                      f"(timeout {probe_timeout:.0f}s)")
+            probe_proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--fused-probe"],
-                capture_output=True, text=True, timeout=probe_timeout,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = next((ln for ln in reversed(proc.stdout.splitlines())
-                         if ln.startswith("{")), None)
+            _PROBE_PROC = probe_proc
+            try:
+                stdout, _ = probe_proc.communicate(timeout=probe_timeout)
+            except subprocess.TimeoutExpired:
+                # The probe prints one JSON line per completed stage —
+                # kill it and salvage whatever finished.
+                probe_proc.kill()
+                stdout, _ = probe_proc.communicate()
+                _RESULT["serving_path"] = "xla (fused probe timed out)"
+            stdout = stdout or ""
+            line = next((ln for ln in reversed(stdout.splitlines())
+                         if ln.startswith("{") and "compiled" not in ln),
+                        None)
             if line:
                 probe = json.loads(line)
                 if probe.get("onchip_pairs", 0) > onchip_pairs:
@@ -323,25 +404,75 @@ def main() -> None:
                         "value": round(probe["onchip_pairs"], 2),
                         "vs_baseline": round(
                             probe["onchip_pairs"] / BASELINE_PAIRS_PER_SEC, 2),
-                        "wall_pairs_per_sec": round(probe["wall_pairs"], 2),
                         "serving_mfu_pct": round(
                             100 * serve_flops * K_CHAIN / probe["chain_dt"]
                             / PEAK_FLOPS, 2),
                         "serving_path": "fused_smi_stack",
                         "serving_xla_pairs_per_sec": round(onchip_pairs, 2),
                     })
-                if probe.get("train_sps", 0) > train_sps:
+                    if probe.get("wall_pairs"):
+                        _RESULT["wall_pairs_per_sec"] = round(
+                            probe["wall_pairs"], 2)
+                if probe.get("train_sps", 0) > 0:
                     _RESULT.update({
                         "train_samples_per_sec_per_chip": round(
                             probe["train_sps"], 2),
                         "train_path": "fused_smi_train",
-                        "train_xla_samples_per_sec": round(train_sps, 2),
                         "train_mfu_pct": round(
-                            100 * train_flops * K_CHAIN / probe["train_dt"]
+                            100 * train_flops * K_TRAIN / probe["train_dt"]
                             / PEAK_FLOPS, 2),
                     })
-        except (subprocess.TimeoutExpired, Exception):
-            _RESULT["serving_path"] = "xla (fused probe timed out)"
+        except Exception:
+            _RESULT["serving_path"] = "xla (fused probe failed)"
+        finally:
+            if _PROBE_PROC is not None and _PROBE_PROC.poll() is None:
+                _PROBE_PROC.kill()
+        _progress(f"phase B done: serving_path={_RESULT['serving_path']}")
+
+    # ------- fallback: XLA train chain if the probe brought no train ----- #
+    if "train_samples_per_sec_per_chip" not in _RESULT:
+        if _remaining() >= 240 or not on_tpu:
+            train_sps, train_dt = _measure_train(xla_cfg, params)
+            _RESULT["train_samples_per_sec_per_chip"] = round(train_sps, 2)
+            _RESULT["train_path"] = "xla"
+            _RESULT["train_mfu_pct"] = (
+                round(100 * train_flops * K_TRAIN / train_dt / PEAK_FLOPS, 2)
+                if on_tpu else None)
+        else:
+            _RESULT["train_samples_per_sec_per_chip"] = None
+            _RESULT["train_path"] = "none (no budget left)"
+
+    # -------- extras, cheapest-first, each gated on leftover budget ------ #
+    # Per-call wall throughput (adds one B_SERVE forward compile).
+    if "wall_pairs_per_sec" not in _RESULT and _remaining() >= 120:
+        try:
+            score_jit, _ = _make_score_chain(xla_cfg)
+            args = (params, *arrays, sm)
+            np.asarray(score_jit(*args))
+            best_wall = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(WALL_ITERS):
+                    np.asarray(score_jit(*args))
+                best_wall = min(best_wall, time.perf_counter() - t0)
+            _RESULT["wall_pairs_per_sec"] = round(
+                WALL_ITERS * B_SERVE / best_wall, 2)
+        except Exception:
+            pass
+
+    # Soft-NMS serving variant (BASELINE config #4).
+    if _remaining() >= 150:
+        try:
+            _, nms_chain = _make_score_chain(xla_cfg, use_nms=True)
+            args = (params, *arrays, sm)
+            np.asarray(nms_chain(*args))
+            nms_dt = _timed_fetch(nms_chain, *args)
+            _RESULT["serving_nms_pairs_per_sec"] = round(
+                K_CHAIN * B_SERVE / nms_dt, 2)
+        except Exception:
+            _RESULT["serving_nms_pairs_per_sec"] = None
+    else:
+        _RESULT["serving_nms_pairs_per_sec"] = None
 
     print(json.dumps(_RESULT))
 
