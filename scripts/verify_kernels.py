@@ -245,6 +245,62 @@ def main() -> int:
               f"grads (max rel err {worst:.2e})")
         ok &= train_ok
 
+    # Row-blocked fused ContentUnit train kernel (ActivityNet-scale path):
+    # compiled gradient parity vs the XLA packed stack at Charades dims
+    # (same kernel body; N=136 keeps the check's compile time sane).
+    from video_moment_localization_tpu.ops import content_train_pallas as ctp
+
+    cfg = ModelConfig(T=64, L=16, C=4, D=512, dl=128, num_smi_layers=2,
+                      input_video_dim=1024, max_query_length=13,
+                      lstm_hidden_size=256)
+    if ctp.supports(cfg):
+        B, Nq = 8, 13
+        params = init_smin_params(jax.random.PRNGKey(3), cfg)
+        f = jnp.asarray(rng.standard_normal((B, cfg.T, cfg.D)).astype(np.float32))
+        fw = jnp.asarray(rng.standard_normal((B, Nq, cfg.D)).astype(np.float32))
+        fs = jnp.asarray(rng.standard_normal((B, cfg.D)).astype(np.float32))
+        qm = jnp.ones((B, Nq, 1), jnp.float32)
+        length = np.ones((B, cfg.L), np.float32)
+        length[1, cfg.L // 2 :] = 0
+        lm = jnp.asarray(length)
+        vm = packed_valid_mask(lm)
+        wm = jnp.asarray(rng.standard_normal(
+            (B, vm.shape[1], cfg.D)).astype(np.float32))
+        wb = jnp.asarray(rng.standard_normal((B, cfg.L, cfg.D)).astype(np.float32))
+
+        def scalar2(stack, p, f_, fw_, fs_):
+            fc, fm_, fb = proposal_features_packed(f_, lm, cfg.L, cfg.C)
+            if stack == "fused":
+                fm_o, fb_o = ctp.smi_stack_content_train(
+                    p, cfg, fc, fm_, fb, fw_, fs_, qm, lm, vm)
+            else:
+                vmask = vm.astype(f_.dtype)
+                for p_layer in p["smi"]:
+                    fc, fm_, fb = smi_block_packed(p_layer, fc, fm_, fb,
+                                                   fw_, fs_, qm, lm, vmask,
+                                                   cfg.L)
+                fm_o, fb_o = fm_, fb
+            return (jnp.sum(fm_o * wm * vm[..., None])
+                    + jnp.sum(fb_o * wb * lm[..., None])) / B
+
+        g_x = jax.jit(jax.grad(lambda *a: scalar2("xla", *a),
+                               argnums=(0, 1, 2, 3)))(params, f, fw, fs)
+        g_k = jax.jit(jax.grad(lambda *a: scalar2("fused", *a),
+                               argnums=(0, 1, 2, 3)))(params, f, fw, fs)
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_k)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            amax = np.abs(a).max()
+            if amax < 1e-2:   # mathematically-zero grads (key biases)
+                worst = max(worst,
+                            0.0 if np.abs(b).max() < 5e-2 else float("inf"))
+                continue
+            worst = max(worst, float(np.abs(a - b).max() / amax))
+        ct_ok = worst < 3e-2
+        print(f"{'PASS' if ct_ok else 'FAIL'}  charades-dims: fused content "
+              f"train grads (max rel err {worst:.2e})")
+        ok &= ct_ok
+
     print("ALL KERNELS VERIFIED" if ok else "KERNEL MISMATCH")
     return 0 if ok else 1
 

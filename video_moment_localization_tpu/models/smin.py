@@ -527,6 +527,21 @@ def smin_forward(
                 return localization_packed(params["localization"], fm, fb,
                                            length_mask, vmask, cfg.L,
                                            dense_out=cfg.compat_head)
+            from video_moment_localization_tpu.ops import (
+                content_train_pallas,
+            )
+
+            if _on_tpu() and content_train_pallas.supports(cfg):
+                # Maps too large for the whole-layer train kernel
+                # (ActivityNet NC=8320): fuse the content unit per
+                # (element, pair-block) cell, boundary/moment on XLA
+                # (ops/content_train_pallas.py).
+                fm, fb = content_train_pallas.smi_stack_content_train(
+                    params, cfg, fc, fm, fb, fw, fs, query_mask,
+                    length_mask, vmask)
+                return localization_packed(params["localization"], fm, fb,
+                                           length_mask, vmask, cfg.L,
+                                           dense_out=cfg.compat_head)
         fused_content = False
         if cfg.fused_content:
             from video_moment_localization_tpu.ops import content_pallas

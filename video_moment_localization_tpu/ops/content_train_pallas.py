@@ -1,0 +1,424 @@
+"""Row-blocked differentiable fused ContentUnit for ActivityNet-scale maps.
+
+The L=64 flagship (NC = N*C = 8320 rows per batch element) is served by the
+VMEM-resident fused SMI stack (ops/smin_pallas.py) but cannot TRAIN through
+the per-layer fused kernels (ops/smin_train_pallas.py): the backward's
+in-VMEM jax.vjp residual set (~68 bytes per fc element at bf16) needs
+~145 MB for a whole element. This module fuses only the CONTENT unit —
+the NC-row bulk of the layer (reference models.py:228-276) — over a grid
+of (batch element, pair block) cells, with the same
+recompute-plus-in-kernel-``jax.vjp`` backward as the full train kernel.
+The boundary and moment units (L- and N-row tensors, tiny at L=64) stay
+on XLA; the kernel additionally emits the mean-over-C of its output so
+the moment unit (reference models.py:297,301) never touches the NC rows.
+
+Layout: the layer carries fc in **c-major (B, C, N, D)** between layers
+(clip c of every pair is one contiguous (N, D) block — the same trick as
+the serving kernel's c-major rows, here realized as a leading axis so a
+pair block is a plain (1, C, BN, D) BlockSpec slice). `smin_forward`
+transposes the proposal output once; cu stays c-major for the next layer
+and only `cmean` (B, N, D) leaves the kernel for the moment unit.
+
+Numerics match `models/smin.py content_unit_packed` at valid pairs
+(invalid pairs are masked once at `cu` — equivalent, they are masked
+downstream in both paths). Gradient parity is tested in interpret mode
+(tests/test_content_train_pallas.py) and compiled on chip
+(scripts/verify_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+_NEG_INF = -1e9
+
+# Backward-cell VMEM bound: content-only vjp residuals measured well below
+# the full-layer ~68 B/elem; 2080-row cells (BN=520, C=4) compile and fit.
+_MAX_BWD_ROWS = 2176
+
+
+def _pick_bn(N: int, C: int, D: int, itemsize: int = 2) -> int:
+    """Pair-block size: the largest divisor of N whose C*BN-row backward
+    cell fits VMEM (~50 B per fc element per activation byte / 2)."""
+    force = os.environ.get("VML_CONTENT_TRAIN_BN")
+    if force:
+        bn = int(force)
+        if bn < 1 or N % bn != 0:
+            raise ValueError(
+                f"VML_CONTENT_TRAIN_BN={bn} must divide N={N}")
+        return bn
+    best = 1
+    for bn in range(1, N + 1):
+        if N % bn:
+            continue
+        if (C * bn <= _MAX_BWD_ROWS
+                and 25 * C * bn * D * itemsize <= 60_000_000):
+            best = bn
+    return best
+
+
+def supports(cfg) -> bool:
+    """True when the row-blocked content train kernel admits the geometry
+    (it always does for the flagship maps; the gate exists for tiny test
+    configs whose N has no usable divisor and for lane alignment)."""
+    N = cfg.L * (cfg.L + 1) // 2
+    return cfg.D % 128 == 0 and cfg.dl % 128 == 0 and N >= 8
+
+
+def _content_rows(fc, fbar, fw, fs, cw, cb, qvalid, mask,
+                  *, BN: int, C: int, Nq: int, D: int, dl: int, prec):
+    """Content-unit math over one (C*BN, D) block — pure jnp on VMEM
+    values, differentiated in the backward kernel via jax.vjp.
+
+    Weight layout matches ops/smin_pallas._stack_weights: cw rows =
+    [c_hat(D) | w_hat(D) | s_hat(D) | attn_q(dl) | attn_k(dl) |
+    c_out(dl)], biases cb rows = [c_hat, w_hat, s_hat, attn_q, attn_k,
+    c_out], width max(D, dl). All broadcasts are ones/one-hot matmuls
+    (Mosaic cannot transpose a sublane-axis broadcast — same rule as the
+    train kernel's xpose_safe mode).
+    """
+    w = fc.dtype
+    rows = C * BN
+    inv_sdl = 1.0 / jnp.sqrt(jnp.float32(dl))
+    cb = cb.astype(_F32)
+
+    c_hat_w = cw[0:D, 0:dl]
+    w_hat_w = cw[D : 2 * D, 0:dl]
+    s_hat_w = cw[2 * D : 3 * D, 0:dl]
+    attn_q_w = cw[3 * D : 3 * D + dl, 0:dl]
+    attn_k_w = cw[3 * D + dl : 3 * D + 2 * dl, 0:dl]
+    c_out_w = cw[3 * D + 2 * dl : 3 * D + 3 * dl, 0:D]
+    c_hat_b, w_hat_b, s_hat_b = cb[0:1, 0:dl], cb[1:2, 0:dl], cb[2:3, 0:dl]
+    attn_q_b, attn_k_b, c_out_b = cb[3:4, 0:dl], cb[4:5, 0:dl], cb[5:6, 0:D]
+
+    def badd(x, b):
+        ones = jnp.ones((x.shape[0], 1), _F32)
+        return x + jnp.dot(ones, b, preferred_element_type=_F32)
+
+    h32 = badd(jnp.dot(fc, c_hat_w, preferred_element_type=_F32,
+                       precision=prec), c_hat_b)        # (rows, dl) f32
+    h = h32.astype(w)
+    fwh32 = badd(jnp.dot(fw, w_hat_w, preferred_element_type=_F32,
+                         precision=prec), w_hat_b)      # (Nq, dl)
+    fwh = fwh32.astype(w)
+    khat = badd(jnp.dot(fwh, attn_k_w, preferred_element_type=_F32,
+                        precision=prec), attn_k_b).astype(w)
+    fsh = badd(jnp.dot(fs, s_hat_w, preferred_element_type=_F32,
+                       precision=prec), s_hat_b)        # (1, dl) f32
+
+    q = badd(jnp.dot(h, attn_q_w, preferred_element_type=_F32,
+                     precision=prec), attn_q_b).astype(w)
+    logits = jax.lax.dot_general(
+        q, khat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=_F32, precision=prec) * inv_sdl
+    logits = jnp.where(qvalid > 0, logits, _NEG_INF)    # (rows, Nq)
+    attn = jax.nn.softmax(logits, axis=-1).astype(w)
+    f_caq = jnp.dot(attn, fwh, preferred_element_type=_F32, precision=prec)
+
+    ones_r = jnp.ones((rows, 1), _F32)
+    f_cq32 = h32 * (f_caq + jnp.dot(ones_r, fsh,
+                                    preferred_element_type=_F32))
+
+    # C x C intra-pair clip attention: clip c is rows [c*BN, (c+1)*BN) —
+    # leading-axis blocks, lane reductions only (no sublane strides).
+    g4 = f_cq32.reshape(C, BN, dl)
+    h4 = h32.reshape(C, BN, dl)
+    gl = [g4[e] for e in range(C)]
+    hl = [h4[e] for e in range(C)]
+    sim = [[(gl[i] * gl[j]).sum(-1, keepdims=True) * inv_sdl
+            for j in range(C)] for i in range(C)]       # (BN, 1) f32
+    outs = []
+    for i in range(C):
+        m = sim[i][0]
+        for j in range(1, C):
+            m = jnp.maximum(m, sim[i][j])
+        e = [jnp.exp(sim[i][j] - m) for j in range(C)]
+        s = e[0]
+        for j in range(1, C):
+            s = s + e[j]
+        inv_s = 1.0 / s
+        acc = (e[0] * inv_s) * hl[0]
+        for j in range(1, C):
+            acc = acc + (e[j] * inv_s) * hl[j]
+        outs.append(acc)
+    f_cc_hat = jnp.stack(outs, axis=0).reshape(rows, dl).astype(w)
+
+    f_cc = badd(jnp.dot(f_cc_hat, c_out_w, preferred_element_type=_F32,
+                        precision=prec), c_out_b)       # (rows, D) f32
+    fbar_rows = jnp.broadcast_to(fbar.astype(_F32)[None], (C, BN, D)
+                                 ).reshape(rows, D)
+    cu32 = (f_cc + fc.astype(_F32) + fbar_rows) * mask  # (rows, D)
+    cu = cu32.astype(w)
+    c4 = cu32.reshape(C, BN, D)
+    acc = c4[0]
+    for e_ in range(1, C):
+        acc = acc + c4[e_]
+    cmean = (acc * (1.0 / C)).astype(w)                 # (BN, D)
+    return cu, cmean
+
+
+def _fwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
+                cw_ref, cb_ref, cu_ref, cm_ref,
+                *, BN: int, C: int, Nq: int, D: int, dl: int):
+    w = fc_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if w == _F32 else None
+    rows = C * BN
+    qvalid = jnp.broadcast_to(
+        qflat_ref[:].reshape(1, Nq).astype(_F32), (rows, Nq))
+    mask = jnp.broadcast_to(vm_ref[:].reshape(1, BN, 1).astype(_F32),
+                            (C, BN, 1)).reshape(rows, 1)
+    cu, cmean = _content_rows(
+        fc_ref[:].reshape(rows, D), fbar_ref[:].reshape(BN, D),
+        fw_ref[:].reshape(Nq, D), fs_ref[:].reshape(1, D),
+        cw_ref[:], cb_ref[:], qvalid, mask,
+        BN=BN, C=C, Nq=Nq, D=D, dl=dl, prec=prec)
+    cu_ref[:] = cu.reshape(1, C, BN, D)
+    cm_ref[:] = cmean.reshape(1, BN, D)
+
+
+def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
+                cw_ref, cb_ref, dcu_ref, dcm_ref,
+                dfc_ref, dfbar_ref, dfw_ref, dfs_ref, dcw_ref, dcb_ref,
+                *, BN: int, C: int, Nq: int, D: int, dl: int):
+    """Re-run the block forward in VMEM and pull gradients through
+    jax.vjp. dfw/dfs accumulate over the pair-block grid axis (output
+    block revisited per batch element); dcw/dcb accumulate over the whole
+    grid in fp32."""
+    w = fc_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if w == _F32 else None
+    rows = C * BN
+    qvalid = jnp.broadcast_to(
+        qflat_ref[:].reshape(1, Nq).astype(_F32), (rows, Nq))
+    mask = jnp.broadcast_to(vm_ref[:].reshape(1, BN, 1).astype(_F32),
+                            (C, BN, 1)).reshape(rows, 1)
+
+    def fn(fc, fbar, fw, fs, cw, cb):
+        return _content_rows(fc, fbar, fw, fs, cw, cb, qvalid, mask,
+                             BN=BN, C=C, Nq=Nq, D=D, dl=dl, prec=prec)
+
+    _, vjp = jax.vjp(
+        fn,
+        fc_ref[:].reshape(rows, D), fbar_ref[:].reshape(BN, D),
+        fw_ref[:].reshape(Nq, D), fs_ref[:].reshape(1, D),
+        cw_ref[:], cb_ref[:])
+    dfc, dfbar, dfw, dfs, dcw, dcb = vjp(
+        (dcu_ref[:].reshape(rows, D), dcm_ref[:].reshape(BN, D)))
+
+    dfc_ref[:] = dfc.reshape(1, C, BN, D)
+    dfbar_ref[:] = dfbar.reshape(1, BN, D)
+
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        dfw_ref[:] = dfw.reshape(1, Nq, D)
+        dfs_ref[:] = dfs.reshape(1, 1, D)
+
+    @pl.when(n != 0)
+    def _():
+        dfw_ref[:] = dfw_ref[:] + dfw.reshape(1, Nq, D)
+        dfs_ref[:] = dfs_ref[:] + dfs.reshape(1, 1, D)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, n == 0)
+
+    @pl.when(first)
+    def _():
+        dcw_ref[:] = dcw.astype(_F32)
+        dcb_ref[:] = dcb.astype(_F32)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dcw_ref[:] = dcw_ref[:] + dcw.astype(_F32)
+        dcb_ref[:] = dcb_ref[:] + dcb.astype(_F32)
+
+
+def _specs(B, BN, C, N, Nq, D, dl):
+    W = max(dl, D)
+    per_bn = lambda b, n: (b, 0, n, 0)    # noqa: E731
+    per_bn3 = lambda b, n: (b, n, 0)      # noqa: E731
+    per_b3 = lambda b, n: (b, 0, 0)       # noqa: E731
+    const2 = lambda b, n: (0, 0)          # noqa: E731
+    ins = [
+        pl.BlockSpec((1, C, BN, D), per_bn, memory_space=pltpu.VMEM),  # fc
+        pl.BlockSpec((1, BN, D), per_bn3, memory_space=pltpu.VMEM),    # fbar
+        pl.BlockSpec((1, Nq, D), per_b3, memory_space=pltpu.VMEM),     # fw
+        pl.BlockSpec((1, 1, D), per_b3, memory_space=pltpu.VMEM),      # fs
+        pl.BlockSpec((1, 1, Nq), per_b3, memory_space=pltpu.VMEM),     # qflat
+        pl.BlockSpec((1, BN, 1), per_bn3, memory_space=pltpu.VMEM),    # vmask
+        pl.BlockSpec((3 * D + 3 * dl, W), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, W), const2, memory_space=pltpu.VMEM),
+    ]
+    return ins, per_bn, per_bn3, per_b3, const2, W
+
+
+def _flops(N, C, Nq, D, dl):
+    NC = N * C
+    return 2 * NC * (2 * D * dl + dl * dl + 2 * Nq * dl + 2 * C * dl + dl * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def content_rows_train(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
+    """Fused row-blocked ContentUnit (fwd) on c-major fc.
+
+    static = (BN, C, N, Nq, D, dl, interpret); fc_cm (B, C, N, D);
+    fbar (B, N, D); fw (B, Nq, D); fs (B, 1, D); qflat (B, 1, Nq) fp32;
+    vmask (B, N, 1) fp32. Returns (cu_cm (B, C, N, D), cmean (B, N, D)).
+    """
+    return _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask)
+
+
+def _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
+    BN, C, N, Nq, D, dl, interpret = static
+    B = fc_cm.shape[0]
+    dtype = fc_cm.dtype
+    ins, per_bn, per_bn3, per_b3, const2, W = _specs(B, BN, C, N, Nq, D, dl)
+    kern = functools.partial(_fwd_kernel, BN=BN, C=C, Nq=Nq, D=D, dl=dl)
+    cu, cm = pl.pallas_call(
+        kern,
+        grid=(B, N // BN),
+        in_specs=ins,
+        out_specs=[
+            pl.BlockSpec((1, C, BN, D), per_bn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, D), per_bn3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, N, D), dtype),
+            jax.ShapeDtypeStruct((B, N, D), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * _flops(N, C, Nq, D, dl),
+            bytes_accessed=2 * B * N * C * D * dtype.itemsize,
+            transcendentals=B * N * C * (Nq + C),
+        ),
+        interpret=interpret,
+    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb)
+    return cu, cm
+
+
+def _fwd_vjp(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
+    out = _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask)
+    return out, (cw, cb, fc_cm, fbar, fw, fs, qflat, vmask)
+
+
+def _bwd_vjp(static, res, cots):
+    BN, C, N, Nq, D, dl, interpret = static
+    cw, cb, fc_cm, fbar, fw, fs, qflat, vmask = res
+    dcu, dcm = cots
+    B = fc_cm.shape[0]
+    dtype = fc_cm.dtype
+    dcu = dcu.astype(dtype)
+    dcm = dcm.astype(dtype)
+    ins, per_bn, per_bn3, per_b3, const2, W = _specs(B, BN, C, N, Nq, D, dl)
+    ins = ins + [
+        pl.BlockSpec((1, C, BN, D), per_bn, memory_space=pltpu.VMEM),  # dcu
+        pl.BlockSpec((1, BN, D), per_bn3, memory_space=pltpu.VMEM),    # dcm
+    ]
+    kern = functools.partial(_bwd_kernel, BN=BN, C=C, Nq=Nq, D=D, dl=dl)
+    outs = pl.pallas_call(
+        kern,
+        grid=(B, N // BN),
+        in_specs=ins,
+        out_specs=[
+            pl.BlockSpec((1, C, BN, D), per_bn, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, D), per_bn3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nq, D), per_b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), per_b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * D + 3 * dl, W), const2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, W), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, N, D), dtype),
+            jax.ShapeDtypeStruct((B, N, D), dtype),
+            jax.ShapeDtypeStruct((B, Nq, D), dtype),
+            jax.ShapeDtypeStruct((B, 1, D), dtype),
+            jax.ShapeDtypeStruct((3 * D + 3 * dl, W), _F32),
+            jax.ShapeDtypeStruct((6, W), _F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * _flops(N, C, Nq, D, dl),
+            bytes_accessed=4 * B * N * C * D * dtype.itemsize,
+            transcendentals=2 * B * N * C * (Nq + C),
+        ),
+        interpret=interpret,
+    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb, dcu, dcm)
+    dfc, dfbar, dfw, dfs, dcw, dcb = outs
+    return (dcw, dcb, dfc, dfbar, dfw, dfs,
+            jnp.zeros_like(qflat), jnp.zeros_like(vmask))
+
+
+content_rows_train.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def smi_stack_content_train(params, cfg, fc, fm, fb, fw, fs, query_mask,
+                            length_mask, vmask, interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SMI stack with the content unit fused per layer (training path for
+    maps too large for the full fused train kernel, e.g. ActivityNet).
+
+    Drop-in for the `smi_block_packed` loop in `smin_forward`: fc is
+    carried c-major between layers; the boundary and moment units run on
+    XLA, the moment unit consuming the kernel's mean-over-C directly.
+    Returns (fm_out (B, N, D), fb_out (B, L, D)).
+    """
+    from video_moment_localization_tpu.models.smin import (
+        _linear,
+        boundary_unit_packed,
+        moment_gate,
+    )
+    from video_moment_localization_tpu.ops.smin_pallas import _stack_weights
+
+    B = fc.shape[0]
+    L, C, dl, D, Nq = cfg.L, cfg.C, cfg.dl, cfg.D, fw.shape[1]
+    N = L * (L + 1) // 2
+    dtype = fc.dtype
+    fm, fb, fw = fm.astype(dtype), fb.astype(dtype), fw.astype(dtype)
+    fs = fs.astype(dtype)
+    BN = _pick_bn(N, C, D, jnp.dtype(dtype).itemsize)
+    static = (BN, C, N, Nq, D, dl, interpret)
+
+    cw, cb, *_ = _stack_weights(params, D, dl, _F32)
+
+    fc_cm = fc.transpose(0, 2, 1, 3)                    # (B, C, N, D)
+    qflat = query_mask[..., 0].astype(_F32)[:, None, :]  # (B, 1, Nq)
+    vm3 = vmask.astype(_F32)[..., None]                 # (B, N, 1)
+    fs3 = fs[:, None, :]
+    m_mask = vmask.astype(dtype)[..., None]
+
+    for i, p_layer in enumerate(params["smi"]):
+        fbar = moment_gate(fm, fs)                      # (B, N, D) XLA
+        cu_cm, cmean = content_rows_train(
+            static, cw[i].astype(dtype), cb[i], fc_cm, fbar, fw, fs3,
+            qflat, vm3)
+        bu = boundary_unit_packed(p_layer["boundary"], fb, fw, fs, fm,
+                                  query_mask, length_mask, L, fbar=fbar)
+        # moment unit on the kernel's mean-over-C (models.py:297,301)
+        from video_moment_localization_tpu.ops.packing import (
+            gather_rows,
+            triu_packing,
+        )
+
+        pk = triu_packing(L)
+        outer = gather_rows(bu, pk.i_idx) * gather_rows(bu, pk.j_idx)
+        conv_fb = _linear(p_layer["moment"]["conv_fb"], outer) * m_mask
+        conv_fc = _linear(p_layer["moment"]["conv_fc"], cmean) * m_mask
+        fm = conv_fb + conv_fc + fm
+        fb = bu
+        fc_cm = cu_cm
+    return fm, fb
