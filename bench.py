@@ -6,30 +6,36 @@ Measures the flagship Charades-STA-scale SMIN (T=64, L=16, C=4, D=512,
 * **serving** (primary metric): forward + packed proposal scores
   pm*sqrt(ps)*sqrt(pe) + top-k — the work the reference does per eval batch
   (reference models.py forward + utils.py:10-31) — at serving batch B=6144.
-  Two timings are reported:
-  - ``value``/on-chip: K scored batches chained *inside one jit* via
-    lax.scan (each iteration's input depends on the previous counts, so
-    nothing is CSE'd or overlapped) — pure device throughput, no transport;
-  - ``wall_pairs_per_sec``: one call per batch with a host fetch each
-    iteration — includes the remote-transport round trip, i.e. what a
-    single synchronous client would observe.
-* **training**: the fused train step (fwd+bwd+Adam+metrics) at B=256,
+  The ``value`` is on-chip: K scored batches chained *inside one jit* via
+  lax.scan (each iteration's input depends on the previous counts, so
+  nothing is CSE'd or overlapped) — pure device throughput, no transport.
+* **training**: the fused train step (fwd+bwd+Adam+metrics) at B=512,
   K steps chained in one jit through the params/opt-state carry.
 * **MFU**: measured matmul-FLOP rate (utils/flops.py, analytic) over the
   chip's peak — the roofline context VERDICT r1 asked for.
 
-Structure (round-3 VERDICT item 1 — the bench must emit a number
-unconditionally, within the driver budget):
+Structure (VERDICT r2 item 1 — the bench must emit a number
+unconditionally, within the driver budget). Hard-won environment facts
+shape it (docs/ARCHITECTURE.md "axon quirks"): the host has ONE cpu core;
+every remote AOT compile costs minutes and the persistent compile cache
+never hits across processes (the tunnel session salts the key); a
+host->device transfer of the B=6144 input set costs ~10 minutes of
+syscall-bound tunnel I/O — so all synthetic inputs are generated ON
+DEVICE (one small jitted jax.random program) and never cross the wire.
 
-1. phase A measures the packed **XLA** serving path first (compiles in
-   seconds) plus the train chain and a soft-NMS-on serving variant —
-   after this a complete JSON line is guaranteed;
-2. phase B attempts the **fused SMI-stack kernel** upgrade in a
-   subprocess under an explicit timeout (``VML_BENCH_FUSED_TIMEOUT``,
-   default = remaining budget); its number replaces the serving value
-   only if the subprocess finishes and is faster;
-3. a SIGTERM/SIGINT handler prints the best-so-far JSON, so even an
-   external `timeout` kill records phase A's numbers.
+1. The parent process is a thin JAX-free coordinator. It immediately
+   spawns the **fused-path probe** subprocess, which compiles and times,
+   in value order, the fused serving chain, the fused train chain, and a
+   soft-NMS serving variant — printing one JSON line per completed
+   measurement so partial results survive a kill.
+2. The parent streams the probe's stdout under per-stage deadlines
+   (serving by ~55% of budget, the rest by ~85%). Whatever lines arrived
+   become the result.
+3. Only if the probe produced no serving number does the parent import
+   JAX and run the packed-XLA serving path itself (compiles in ~5 min);
+   with very little budget left it drops to a smaller-batch XLA measure.
+4. A SIGTERM/SIGINT handler prints the best-so-far JSON, so an external
+   `timeout` kill still records every completed stage.
 
 Scope note (recorded in the JSON too): weights are randomly initialized
 and inputs synthetic — this measures compute throughput, not accuracy;
@@ -42,30 +48,18 @@ with batch 64 (forward + compute_ious, eval mode). The CPU reference is
 compute-bound and gains nothing from larger batches; the TPU number uses
 a serving-style batch to fill the chip.
 
-Prints exactly one JSON line.
+Prints exactly one JSON line on stdout.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import signal
 import subprocess
 import sys
+import threading
 import time
-
-import jax
-import numpy as np
-
-# Persistent compilation cache: phase B's fused-kernel compile is the slow
-# part (minutes cold); cache hits make re-runs (e.g. the driver's
-# end-of-round bench after an in-round pre-warm) near-instant.
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
 
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
@@ -81,15 +75,6 @@ K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 # the train chain uses a smaller K (timing precision is unaffected: one
 # chain still runs ~0.2 s on chip).
 K_TRAIN = int(os.environ.get("VML_BENCH_K_TRAIN", 4))
-WALL_ITERS = 8
-# Wall-clock ceiling for the whole bench; phase B gets what is left.
-# One remote AOT compile of a B=6144 program costs ~5-6 min in this
-# environment and the compile cache does not hit across tunnel sessions,
-# so the ceiling covers phase A's serving compile plus the fused probe's
-# 4 programs (~13-17 min total when the two processes contend for the one
-# host core). The round-2 driver's capture allowed >27 min before
-# killing; a SIGTERM handler emits the best-so-far JSON if the ceiling is
-# ever exceeded anyway.
 BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 1500))
 _T0 = time.perf_counter()
 
@@ -107,9 +92,10 @@ def _emit_and_exit(signum=None, frame=None):
             _PROBE_PROC.kill()
         except Exception:
             pass
-    if _RESULT is not None:
+    if _RESULT is not None and _RESULT.get("value"):
         print(json.dumps(_RESULT), flush=True)
-    os._exit(0 if _RESULT is not None else 1)
+        os._exit(0)
+    os._exit(1)
 
 
 def _progress(msg: str) -> None:
@@ -118,8 +104,19 @@ def _progress(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T0)
+
+
+# ------------------------------------------------------------------ #
+# measurement helpers (imported lazily — only the probe subprocess and
+# the parent's fallback path ever touch JAX)
+# ------------------------------------------------------------------ #
 def _timed_fetch(fn, *args):
     """Best-of-3 wall time of fn(*args) with a host fetch (real completion)."""
+    import jax
+    import numpy as np
+
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -129,20 +126,50 @@ def _timed_fetch(fn, *args):
     return best
 
 
+def _device_inputs(cfg, B: int, seed: int = 0):
+    """Synthetic serving inputs generated ON DEVICE.
+
+    A host-side np.random draw of the B=6144 input set is ~1.7 GB that
+    must cross the tunnel (measured ~10 min of syscall-bound I/O — it
+    dominated the old bench's startup); one jitted jax.random program
+    produces the same-shaped inputs in seconds with nothing on the wire.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        vf = jax.random.normal(k1, (B, cfg.T, cfg.input_video_dim),
+                               jnp.float32)
+        qf = jax.random.normal(k2, (B, cfg.max_query_length, cfg.word_dim),
+                               jnp.float32)
+        N = cfg.L * (cfg.L + 1) // 2
+        sm = jax.random.uniform(k3, (B, N), jnp.float32)
+        vm = jnp.ones((B, cfg.T, 1), jnp.float32)
+        qm = jnp.ones((B, cfg.max_query_length, 1), jnp.float32)
+        lm = jnp.ones((B, cfg.L), jnp.float32)
+        mm = jnp.broadcast_to(
+            jnp.triu(jnp.ones((cfg.L, cfg.L), jnp.float32)), (B, cfg.L, cfg.L))
+        return vf, vm, qf, qm, lm, mm, sm
+
+    vf, vm, qf, qm, lm, mm, sm = gen(jax.random.PRNGKey(seed))
+    return (vf, vm, qf, qm, lm, mm), sm
+
+
 def _setup(cfg):
-    from __graft_entry__ import _synthetic_arrays
+    import jax
+
     from video_moment_localization_tpu.models import init_smin_params
 
     params = init_smin_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.default_rng(0)
-    vf, vm, qf, qm, lm, mm = _synthetic_arrays(cfg, B=B_SERVE)
-    N = cfg.L * (cfg.L + 1) // 2
-    sm_shape = (B_SERVE, N) if cfg.packed else (B_SERVE, cfg.L, cfg.L)
-    sm = jax.numpy.asarray(rng.uniform(0, 1, sm_shape).astype(np.float32))
-    return params, (vf, vm, qf, qm, lm, mm), sm
+    arrays, sm = _device_inputs(cfg, B_SERVE)
+    return params, arrays, sm
 
 
 def _make_score_chain(cfg, use_nms: bool = False):
+    import jax
+
     from video_moment_localization_tpu.models.smin import smin_forward_inference
     from video_moment_localization_tpu.train.metrics import (
         recall_counts,
@@ -172,49 +199,55 @@ def _make_score_chain(cfg, use_nms: bool = False):
     return jax.jit(score_batch), score_chain
 
 
-def _measure_serving(cfg, params, arrays, sm, wall: bool = True):
-    score_jit, score_chain = _make_score_chain(cfg)
+def _measure_serving(cfg, params, arrays, sm, use_nms: bool = False):
+    import numpy as np
+
+    _, score_chain = _make_score_chain(cfg, use_nms=use_nms)
     args = (params, *arrays, sm)
     np.asarray(score_chain(*args))  # compile + first run
     chain_dt = _timed_fetch(score_chain, *args)
-    onchip = K_CHAIN * B_SERVE / chain_dt
-
-    wall_pairs = None
-    if wall:
-        np.asarray(score_jit(*args))
-        best_wall = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(WALL_ITERS):
-                np.asarray(score_jit(*args))
-            best_wall = min(best_wall, time.perf_counter() - t0)
-        wall_pairs = WALL_ITERS * B_SERVE / best_wall
-    return onchip, wall_pairs, chain_dt
+    return K_CHAIN * B_SERVE / chain_dt, chain_dt
 
 
 def _make_train_chain(cfg, params):
-    """Build the K_TRAIN-chained train-step program + its args."""
+    """Build the K_TRAIN-chained train-step program + its args.
+
+    Train inputs/labels are generated on device too (see _device_inputs).
+    """
+    import jax
+    import jax.numpy as jnp
     import optax
 
-    from __graft_entry__ import _synthetic_arrays
     from video_moment_localization_tpu.models import smin_forward
     from video_moment_localization_tpu.train.loss import smin_loss
 
     N = cfg.L * (cfg.L + 1) // 2
-    rng = np.random.default_rng(1)
-    tvf, tvm, tqf, tqm, tlm, tmm = _synthetic_arrays(cfg, B=B_TRAIN)
-    tsm = rng.uniform(0, 1, (B_TRAIN, N)).astype(np.float32)
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 9)
+        vf = jax.random.normal(ks[0], (B_TRAIN, cfg.T, cfg.input_video_dim),
+                               jnp.float32)
+        qf = jax.random.normal(ks[1], (B_TRAIN, cfg.max_query_length,
+                                       cfg.word_dim), jnp.float32)
+        sm = jax.random.uniform(ks[2], (B_TRAIN, N), jnp.float32)
+        lab = {}
+        for i, k in enumerate(("ss", "ys", "se", "ye", "ya")):
+            v = jax.random.uniform(ks[3 + i], (B_TRAIN, cfg.L), jnp.float32)
+            lab[k] = v if k in ("ss", "se") else (v > 0.5).astype(jnp.float32)
+        return vf, qf, sm, lab
+
+    tvf, tqf, tsm, lab = gen(jax.random.PRNGKey(1))
+    tvm = jnp.ones((B_TRAIN, cfg.T, 1), jnp.float32)
+    tqm = jnp.ones((B_TRAIN, cfg.max_query_length, 1), jnp.float32)
+    tlm = jnp.ones((B_TRAIN, cfg.L), jnp.float32)
     batch = {
         "video_features": tvf, "video_mask": tvm, "query_features": tqf,
         "query_mask": tqm, "length_mask": tlm,
-        "sm": jax.numpy.asarray(tsm),
-        "ym": jax.numpy.asarray((tsm > 0.5).astype(np.float32)),
+        "sm": tsm, "ym": (tsm > 0.5).astype(jnp.float32),
+        "sample_mask": jnp.ones(B_TRAIN, jnp.float32),
+        **lab,
     }
-    for k in ("ss", "ys", "se", "ye", "ya"):
-        v = rng.uniform(0, 1, (B_TRAIN, cfg.L)).astype(np.float32)
-        batch[k] = jax.numpy.asarray(
-            v if k in ("ss", "se") else (v > 0.5).astype(np.float32))
-    batch["sample_mask"] = jax.numpy.ones(B_TRAIN, np.float32)
 
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
@@ -244,70 +277,80 @@ def _make_train_chain(cfg, params):
 
 def _measure_train(cfg, params):
     """K_TRAIN-chained train-step device throughput (samples/s) at B_TRAIN."""
+    import numpy as np
+
     train_chain, targs = _make_train_chain(cfg, params)
     np.asarray(train_chain(*targs))  # compile
     train_dt = _timed_fetch(train_chain, *targs)
     return K_TRAIN * B_TRAIN / train_dt, train_dt
 
 
+# ------------------------------------------------------------------ #
+# probe subprocess: fused-path measurements, one JSON line per stage
+# ------------------------------------------------------------------ #
 def _fused_probe() -> None:
-    """Subprocess mode: measure the fused-kernel serving AND training paths.
+    """Measure the fused-kernel serving, training, and NMS-serving paths.
 
-    The slow Mosaic/AOT compiles happen here, OVERLAPPED with the parent's
-    phase-A compiles (launched together; remote compiles don't occupy the
-    chip). TIMING is serialized against the parent through a gate file
-    (``VML_PROBE_GATE``): the probe compiles everything first, then waits
-    for the parent to finish its own timings before timing. One JSON line
-    is printed per completed measurement so partial results survive a
-    mid-probe timeout (the parent takes the last line)."""
+    Runs in a subprocess so a hung Mosaic/remote compile is killable by
+    the parent; prints one JSON line per completed measurement so partial
+    results survive a mid-probe kill. Value-ordered: serving first (the
+    headline), then train, then the soft-NMS variant.
+    """
+    # Persistent compile cache: no cross-process hits in this environment
+    # (session-salted keys), but same-process re-runs and any future fix
+    # benefit; harmless otherwise.
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import numpy as np  # noqa: F401  (used via _timed_fetch)
+
     from __graft_entry__ import _charades_cfg
 
     cfg = _charades_cfg()  # fused_smi/fused_smi_train=True defaults
+    _progress("probe: setup (device-side inputs)")
     params, arrays, sm = _setup(cfg)
-    out = {"phase": "fused"}
 
-    # ---- compile everything (runs each program once) ----
-    _progress("probe: compiling fused serving chain")
-    _, score_chain = _make_score_chain(cfg)
-    args = (params, *arrays, sm)
-    np.asarray(score_chain(*args))
-    _progress("probe: compiling fused train chain")
-    train_fn, train_args = _make_train_chain(cfg, params)
-    train_compiled = True
-    try:
-        np.asarray(train_fn(*train_args))
-    except Exception:
-        train_compiled = False
-    _progress(f"probe: compiles done (train_compiled={train_compiled})")
-    print(json.dumps({"phase": "fused", "compiled": True}), flush=True)
+    _progress("probe: compiling + timing fused serving chain")
+    pairs, chain_dt = _measure_serving(cfg, params, arrays, sm)
+    print(json.dumps({"stage": "serving", "onchip_pairs": pairs,
+                      "chain_dt": chain_dt}), flush=True)
+    _progress(f"probe: serving {pairs:.0f} pairs/s")
 
-    # ---- wait for the parent to release the chip for timing ----
-    gate = os.environ.get("VML_PROBE_GATE")
-    if gate:
-        deadline = time.time() + 600
-        while not os.path.exists(gate) and time.time() < deadline:
-            time.sleep(1.0)
+    _progress("probe: compiling + timing fused train chain")
+    train_sps, train_dt = _measure_train(cfg, params)
+    print(json.dumps({"stage": "train", "train_sps": train_sps,
+                      "train_dt": train_dt}), flush=True)
+    _progress(f"probe: train {train_sps:.0f} samples/s")
 
-    chain_dt = _timed_fetch(score_chain, *args)
-    out.update({"onchip_pairs": K_CHAIN * B_SERVE / chain_dt,
-                "chain_dt": chain_dt})
-    print(json.dumps(out), flush=True)
-    if train_compiled:
-        train_dt = _timed_fetch(train_fn, *train_args)
-        out.update({"train_sps": K_TRAIN * B_TRAIN / train_dt,
-                    "train_dt": train_dt})
-        print(json.dumps(out), flush=True)
-    # No per-call wall measurement here: its extra score_batch compile
-    # would keep the subprocess alive minutes past the useful lines and
-    # trip the parent's timeout. (Measured separately: 46.7k pairs/s wall
-    # for the fused path at B=6144.)
+    _progress("probe: compiling + timing soft-NMS serving chain")
+    nms_pairs, _ = _measure_serving(cfg, params, arrays, sm, use_nms=True)
+    print(json.dumps({"stage": "nms", "nms_pairs": nms_pairs}), flush=True)
+    _progress(f"probe: nms serving {nms_pairs:.0f} pairs/s")
+
+
+# ------------------------------------------------------------------ #
+# parent: JAX-free coordinator
+# ------------------------------------------------------------------ #
+def _reader(pipe, lines: list, lock: threading.Lock):
+    for ln in iter(pipe.readline, ""):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            with lock:
+                lines.append(ln)
+    pipe.close()
 
 
 def main() -> None:
-    global _RESULT
+    global _RESULT, _PROBE_PROC
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
 
+    # FLOP model: pure python (config + arithmetic), no JAX import.
     from __graft_entry__ import _charades_cfg
     from video_moment_localization_tpu.utils.flops import (
         smin_forward_flops,
@@ -315,167 +358,148 @@ def main() -> None:
     )
 
     cfg = _charades_cfg()
-    xla_cfg = dataclasses.replace(cfg, fused_smi=False, fused_smi_train=False)
-    on_tpu = jax.default_backend().startswith(("tpu", "axon"))
-
-    # ---------------- phase A: XLA serving path ----------- #
-    # Every large program costs ~5-6 min of remote AOT compile on a good
-    # day (occasionally much worse — the compile server is shared) and
-    # the persistent cache does NOT hit across processes here (the tunnel
-    # session salts the key). The bench therefore runs strictly
-    # value-ordered with progress stamps on stderr, and the fused-kernel
-    # work happens in a killable subprocess with a guaranteed minimum
-    # window. An earlier design overlapped the probe's compiles with
-    # phase A's; the two processes' HLO lowering and remote compiles
-    # contend (1 host core, shared compile helper) and the worst case
-    # got WORSE — sequential is the stable shape.
-    _progress("phase A: compiling + timing the XLA serving chain")
-    params, arrays, sm = _setup(xla_cfg)
-    onchip_pairs, wall_pairs, chain_dt = _measure_serving(
-        xla_cfg, params, arrays, sm, wall=False)
-    _progress(f"phase A done: {onchip_pairs:.0f} pairs/s (XLA)")
     serve_flops = smin_forward_flops(cfg, B_SERVE)
-    serving_mfu = serve_flops * K_CHAIN / chain_dt / PEAK_FLOPS
+    train_flops = smin_train_step_flops(cfg, B_TRAIN)
 
     note = ("on-chip value from a K={k} in-jit chained scan (no transport); "
-            "wall_pairs_per_sec includes per-call transport RTT; random "
-            "weights + synthetic inputs (throughput only, not accuracy); "
-            "primary serving number is NMS-OFF like the reference "
-            "(utils.py:14), serving_nms_pairs_per_sec adds soft-NMS; "
-            "baseline torch-CPU uses batch 64 (compute-bound, "
+            "random weights + synthetic on-device inputs (throughput only, "
+            "not accuracy); primary serving number is NMS-OFF like the "
+            "reference (utils.py:14), serving_nms_pairs_per_sec adds "
+            "soft-NMS; baseline torch-CPU uses batch 64 (compute-bound, "
             "batch-insensitive) vs serving batch {bs} here; MFU vs "
             "{pk:.0f} TFLOP/s peak (bf16)").format(
                 k=K_CHAIN, bs=B_SERVE, pk=PEAK_FLOPS / 1e12)
 
     _RESULT = {
         "metric": "query_video_pairs_scored_per_sec_per_chip",
-        "value": round(onchip_pairs, 2),
+        "value": None,
         "unit": "pairs/s",
-        "vs_baseline": round(onchip_pairs / BASELINE_PAIRS_PER_SEC, 2),
-        "serving_mfu_pct": round(100 * serving_mfu, 2) if on_tpu else None,
+        "vs_baseline": None,
+        "serving_mfu_pct": None,
         "serving_batch": B_SERVE,
         "train_batch": B_TRAIN,
-        "serving_path": "xla",
+        "serving_path": None,
         "note": note,
+        "train_samples_per_sec_per_chip": None,
+        "train_path": None,
+        "serving_nms_pairs_per_sec": None,
     }
 
-    # ---------------- phase B: join the fused probe (budgeted) ----------- #
-    # The XLA train chain is NOT measured up front: with a 1-core host the
-    # two processes' HLO lowering serializes, so every parent compile
-    # delays the probe 1:1. The probe carries the train number on success;
-    # the XLA train chain is the fallback (measured below only if needed).
-    train_flops = smin_train_step_flops(cfg, B_TRAIN)
-    train_sps = 0.0
+    def apply_probe_line(ln: str) -> None:
+        d = json.loads(ln)
+        if d.get("stage") == "serving":
+            _RESULT.update({
+                "value": round(d["onchip_pairs"], 2),
+                "vs_baseline": round(
+                    d["onchip_pairs"] / BASELINE_PAIRS_PER_SEC, 2),
+                "serving_mfu_pct": round(
+                    100 * serve_flops * K_CHAIN / d["chain_dt"] / PEAK_FLOPS,
+                    2),
+                "serving_path": "fused_smi_stack",
+            })
+        elif d.get("stage") == "train":
+            _RESULT.update({
+                "train_samples_per_sec_per_chip": round(d["train_sps"], 2),
+                "train_path": "fused_smi_train",
+                "train_mfu_pct": round(
+                    100 * train_flops * K_TRAIN / d["train_dt"] / PEAK_FLOPS,
+                    2),
+            })
+        elif d.get("stage") == "nms":
+            _RESULT["serving_nms_pairs_per_sec"] = round(d["nms_pairs"], 2)
 
-    def _remaining():
-        return BUDGET_S - (time.perf_counter() - _T0) - 20
+    # ---- phase A: fused probe, streamed under per-stage deadlines ---- #
+    probe_enabled = float(os.environ.get("VML_BENCH_FUSED_TIMEOUT", 1)) > 0
+    lines: list[str] = []
+    applied = 0
+    if probe_enabled:
+        _progress("spawning fused probe")
+        _PROBE_PROC = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--fused-probe"],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lock = threading.Lock()
+        t = threading.Thread(target=_reader,
+                             args=(_PROBE_PROC.stdout, lines, lock),
+                             daemon=True)
+        t.start()
 
-    if on_tpu and float(os.environ.get("VML_BENCH_FUSED_TIMEOUT", 1)) > 0:
-        global _PROBE_PROC
-        try:
-            # The probe always gets a useful minimum window even if phase A
-            # overran the nominal budget: the driver's kill arrives well
-            # after BUDGET_S, and the SIGTERM handler emits phase A's
-            # numbers if the worst case ever lands.
-            probe_timeout = float(os.environ.get(
-                "VML_BENCH_FUSED_TIMEOUT", max(_remaining(), 480)))
-            _progress(f"phase B: fused probe subprocess "
-                      f"(timeout {probe_timeout:.0f}s)")
-            probe_proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--fused-probe"],
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            _PROBE_PROC = probe_proc
-            try:
-                stdout, _ = probe_proc.communicate(timeout=probe_timeout)
-            except subprocess.TimeoutExpired:
-                # The probe prints one JSON line per completed stage —
-                # kill it and salvage whatever finished.
-                probe_proc.kill()
-                stdout, _ = probe_proc.communicate()
-                _RESULT["serving_path"] = "xla (fused probe timed out)"
-            stdout = stdout or ""
-            line = next((ln for ln in reversed(stdout.splitlines())
-                         if ln.startswith("{") and "compiled" not in ln),
-                        None)
-            if line:
-                probe = json.loads(line)
-                if probe.get("onchip_pairs", 0) > onchip_pairs:
-                    _RESULT.update({
-                        "value": round(probe["onchip_pairs"], 2),
-                        "vs_baseline": round(
-                            probe["onchip_pairs"] / BASELINE_PAIRS_PER_SEC, 2),
-                        "serving_mfu_pct": round(
-                            100 * serve_flops * K_CHAIN / probe["chain_dt"]
-                            / PEAK_FLOPS, 2),
-                        "serving_path": "fused_smi_stack",
-                        "serving_xla_pairs_per_sec": round(onchip_pairs, 2),
-                    })
-                    if probe.get("wall_pairs"):
-                        _RESULT["wall_pairs_per_sec"] = round(
-                            probe["wall_pairs"], 2)
-                if probe.get("train_sps", 0) > 0:
-                    _RESULT.update({
-                        "train_samples_per_sec_per_chip": round(
-                            probe["train_sps"], 2),
-                        "train_path": "fused_smi_train",
-                        "train_mfu_pct": round(
-                            100 * train_flops * K_TRAIN / probe["train_dt"]
-                            / PEAK_FLOPS, 2),
-                    })
-        except Exception:
-            _RESULT["serving_path"] = "xla (fused probe failed)"
-        finally:
-            if _PROBE_PROC is not None and _PROBE_PROC.poll() is None:
+        # Serving must land by ~55% of budget; the rest by ~85% — the
+        # leftovers cover the parent's XLA fallback when the probe dies
+        # early, or just end the bench sooner when it succeeds.
+        serve_deadline = _T0 + 0.55 * BUDGET_S
+        rest_deadline = _T0 + 0.85 * BUDGET_S
+        while _PROBE_PROC.poll() is None:
+            now = time.perf_counter()
+            with lock:
+                have = len(lines)
+            have_serving = have >= 1
+            if not have_serving and now > serve_deadline:
+                _progress("probe missed the serving deadline — killing")
                 _PROBE_PROC.kill()
-        _progress(f"phase B done: serving_path={_RESULT['serving_path']}")
+                break
+            if now > rest_deadline:
+                _progress("probe past the full deadline — killing")
+                _PROBE_PROC.kill()
+                break
+            time.sleep(1.0)
+        t.join(timeout=10)
+        with lock:
+            for ln in lines[applied:]:
+                apply_probe_line(ln)
+                applied = len(lines)
+        _progress(f"probe done: {len(lines)} stage(s) measured, "
+                  f"serving_path={_RESULT['serving_path']}")
 
-    # ------- fallback: XLA train chain if the probe brought no train ----- #
-    if "train_samples_per_sec_per_chip" not in _RESULT:
-        if _remaining() >= 240 or not on_tpu:
-            train_sps, train_dt = _measure_train(xla_cfg, params)
-            _RESULT["train_samples_per_sec_per_chip"] = round(train_sps, 2)
-            _RESULT["train_path"] = "xla"
-            _RESULT["train_mfu_pct"] = (
-                round(100 * train_flops * K_TRAIN / train_dt / PEAK_FLOPS, 2)
-                if on_tpu else None)
-        else:
-            _RESULT["train_samples_per_sec_per_chip"] = None
-            _RESULT["train_path"] = "none (no budget left)"
+    # ---- phase B: XLA fallbacks for anything the probe missed ---- #
+    need_serving = _RESULT["value"] is None
+    need_train = _RESULT["train_samples_per_sec_per_chip"] is None
+    if need_serving or (need_train and _remaining() > 420):
+        _progress("fallback: importing JAX in the parent")
+        import dataclasses
 
-    # -------- extras, cheapest-first, each gated on leftover budget ------ #
-    # Per-call wall throughput (adds one B_SERVE forward compile).
-    if "wall_pairs_per_sec" not in _RESULT and _remaining() >= 120:
+        xla_cfg = dataclasses.replace(cfg, fused_smi=False,
+                                      fused_smi_train=False)
         try:
-            score_jit, _ = _make_score_chain(xla_cfg)
-            args = (params, *arrays, sm)
-            np.asarray(score_jit(*args))
-            best_wall = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(WALL_ITERS):
-                    np.asarray(score_jit(*args))
-                best_wall = min(best_wall, time.perf_counter() - t0)
-            _RESULT["wall_pairs_per_sec"] = round(
-                WALL_ITERS * B_SERVE / best_wall, 2)
-        except Exception:
-            pass
+            params, arrays, sm = _setup(xla_cfg)
+            if need_serving:
+                _progress("fallback: XLA serving chain")
+                pairs, chain_dt = _measure_serving(xla_cfg, params, arrays, sm)
+                _RESULT.update({
+                    "value": round(pairs, 2),
+                    "vs_baseline": round(pairs / BASELINE_PAIRS_PER_SEC, 2),
+                    "serving_mfu_pct": round(
+                        100 * serve_flops * K_CHAIN / chain_dt / PEAK_FLOPS,
+                        2),
+                    "serving_path": "xla (fused probe incomplete)",
+                })
+            if (_RESULT["train_samples_per_sec_per_chip"] is None
+                    and _remaining() > 300):
+                _progress("fallback: XLA train chain")
+                sps, train_dt = _measure_train(xla_cfg, params)
+                _RESULT.update({
+                    "train_samples_per_sec_per_chip": round(sps, 2),
+                    "train_path": "xla (fused probe incomplete)",
+                    "train_mfu_pct": round(
+                        100 * train_flops * K_TRAIN / train_dt / PEAK_FLOPS,
+                        2),
+                })
+            if (_RESULT["serving_nms_pairs_per_sec"] is None
+                    and _remaining() > 300):
+                _progress("fallback: XLA soft-NMS serving chain")
+                nms_pairs, _ = _measure_serving(xla_cfg, params, arrays, sm,
+                                                use_nms=True)
+                _RESULT["serving_nms_pairs_per_sec"] = round(nms_pairs, 2)
+        except Exception as e:  # emit whatever is measured so far
+            _progress(f"fallback failed: {e!r}")
 
-    # Soft-NMS serving variant (BASELINE config #4).
-    if _remaining() >= 150:
-        try:
-            _, nms_chain = _make_score_chain(xla_cfg, use_nms=True)
-            args = (params, *arrays, sm)
-            np.asarray(nms_chain(*args))
-            nms_dt = _timed_fetch(nms_chain, *args)
-            _RESULT["serving_nms_pairs_per_sec"] = round(
-                K_CHAIN * B_SERVE / nms_dt, 2)
-        except Exception:
-            _RESULT["serving_nms_pairs_per_sec"] = None
-    else:
-        _RESULT["serving_nms_pairs_per_sec"] = None
+    if _RESULT["train_path"] is None:
+        _RESULT["train_path"] = "none (no budget left)"
 
+    if _RESULT["value"] is None:
+        _progress("no serving measurement landed — exiting nonzero")
+        sys.exit(1)
     print(json.dumps(_RESULT))
 
 
