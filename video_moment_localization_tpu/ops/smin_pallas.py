@@ -469,16 +469,26 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     lkeep = _block_keep(BB * L, L, BB * L, L, lflat)         # A_b
 
     # ---------------- proposal pooling (all static matmuls) -------------- #
-    wc = wc_ref[:]                                       # (NC, T) bf16
-    wb = wb_ref[:]                                       # (L, T)
-    fc_parts = []
-    fb_parts = []
-    for b in range(BB):
-        fb_el = f_ref[b]                                 # (T, D) bf16
-        fc_parts.append(jnp.dot(wc, fb_el, preferred_element_type=f32, precision=prec))
-        fb_parts.append(jnp.dot(wb, fb_el, preferred_element_type=f32, precision=prec))
-    fc = (jnp.concatenate(fc_parts, axis=0) * mcol).astype(w)   # (BB*NC, D)
-    f_b = jnp.concatenate(fb_parts, axis=0).astype(w)           # (BB*L, D)
+    if "noprop" in ablate:
+        # Ablation: skip the pooling matmuls (shape-preserving stand-in
+        # built from one row of f) to price the section on chip.
+        f0 = f_ref[:].reshape(BB * T, D)
+        fc = (jnp.broadcast_to(f0[0:1].astype(f32), (BB * NC, D))
+              * mcol).astype(w)
+        f_b = jnp.broadcast_to(f0[0:1], (BB * L, D)).astype(w)
+    else:
+        wc = wc_ref[:]                                   # (NC, T) bf16
+        wb = wb_ref[:]                                   # (L, T)
+        fc_parts = []
+        fb_parts = []
+        for b in range(BB):
+            fb_el = f_ref[b]                             # (T, D) bf16
+            fc_parts.append(jnp.dot(wc, fb_el, preferred_element_type=f32,
+                                    precision=prec))
+            fb_parts.append(jnp.dot(wb, fb_el, preferred_element_type=f32,
+                                    precision=prec))
+        fc = (jnp.concatenate(fc_parts, axis=0) * mcol).astype(w)  # (BB*NC, D)
+        f_b = jnp.concatenate(fb_parts, axis=0).astype(w)          # (BB*L, D)
 
     fm = (_mean_over_c(fc, BB, N, C, D) * mrow).astype(w)       # (BB*N, D)
 
