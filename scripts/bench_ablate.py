@@ -49,14 +49,25 @@ def main() -> None:
     params = init_smin_params(jax.random.PRNGKey(0), cfg)
     arrays, _ = _device_inputs(cfg, B)
 
-    def make_chain(run_cfg, backbone_only=False):
+    from video_moment_localization_tpu.models.lstm import bilstm
+    from video_moment_localization_tpu.models.smin import video_encoder
+
+    def make_chain(run_cfg, piece=None):
         @jax.jit
         def chain(params, vf, vm, qf, qm, lm, mm):
             def body(c, _):
-                if backbone_only:
+                if piece == "backbone":
                     f, fs, fw = backbone(params, run_cfg,
                                          (vf + c).astype(jnp.bfloat16), vm,
                                          qf.astype(jnp.bfloat16), qm)
+                    return f.astype(jnp.float32).sum() * 1e-30, ()
+                if piece == "lstm":
+                    fw_ = bilstm((qf + c.astype(qf.dtype)).astype(jnp.bfloat16),
+                                 qm[..., 0], params["query_encoder"])
+                    return fw_.astype(jnp.float32).sum() * 1e-30, ()
+                if piece == "venc":
+                    f = video_encoder(params["video_encoder"],
+                                      (vf + c).astype(jnp.bfloat16), vm)
                     return f.astype(jnp.float32).sum() * 1e-30, ()
                 pm, ps, pe, pa = smin_forward_inference(
                     params, run_cfg, vf + c, vm, qf, qm, lm, mm)
@@ -75,9 +86,10 @@ def main() -> None:
             run_cfg = dataclasses.replace(cfg, num_smi_layers=1)
         else:
             os.environ["VML_SMIN_ABLATE"] = (
-                "" if name in ("full", "backbone") else name)
+                "" if name in ("full", "backbone", "lstm", "venc") else name)
         t0 = time.perf_counter()
-        fn = make_chain(run_cfg, backbone_only=(name == "backbone"))
+        piece = name if name in ("backbone", "lstm", "venc") else None
+        fn = make_chain(run_cfg, piece=piece)
         p = params
         if name == "l1":
             p = dict(params, smi=params["smi"][:1])
@@ -97,7 +109,7 @@ def main() -> None:
     if "full" in results:
         full = results["full"]
         for name, ms in results.items():
-            if name in ("full", "l1", "backbone"):
+            if name in ("full", "l1", "backbone", "lstm", "venc"):
                 continue
             print(f"section {name[2:]:6s}: {full - ms:6.2f} ms "
                   f"({100 * (full - ms) / full:4.1f}% of full)", flush=True)

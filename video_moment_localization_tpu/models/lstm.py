@@ -85,7 +85,14 @@ def _lstm_scan(x: jnp.ndarray, mask: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndar
 def bilstm(
     x: jnp.ndarray, mask: jnp.ndarray, layers: List[Dict[str, Any]]
 ) -> jnp.ndarray:
-    """Multi-layer biLSTM: (B, S, in), mask (B, S) -> (B, S, 2H)."""
+    """Multi-layer biLSTM: (B, S, in), mask (B, S) -> (B, S, 2H).
+
+    Negative result (measured, round 3): batching the two directions into
+    ONE (2B, S) scan — halving the sequential step count, bit-identical
+    outputs — is ~1.45x SLOWER on chip (11.4 vs 7.9 ms at B=6144 serving,
+    scripts/bench_ablate.py --variants lstm): the per-step h[:B]/h[B:]
+    slice + concat around the two recurrent matmuls costs more than the
+    halved step count saves. Two short scans stay."""
     h = x
     for p in layers:
         fwd = _lstm_scan(h, mask, p["fwd"])
