@@ -64,11 +64,11 @@ import time
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
 # Serving batch 6144 fills HBM to ~80% (8192 OOMs at 17.3/15.75 GB) and
-# gains ~6% over 4096; train batch 512 measured +36% over 256 on the
-# fused train path (more grid cells per step amortize the kernel
-# pipeline; recorded in the JSON as train_batch).
+# gains ~6% over 4096; train batch 1024 measured +28% over 512 (which was
+# +36% over 256) on the fused train path — more grid cells per step
+# amortize the kernel pipeline (recorded in the JSON as train_batch).
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
-B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 512))
+B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1024))
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 # The train chain scans the WHOLE train step (fwd+bwd+Adam) K times inside
 # one jit; the remote AOT compile time scales with the scanned body, so

@@ -159,7 +159,16 @@ def _pick_bb(B: int, L: int, C: int, D: int, itemsize: int = 2) -> int:
     """Batch elements per grid cell. Larger BB amortizes per-cell pipeline
     overhead; the ~100 MB raised VMEM budget bounds it (measured ~6.6 MB
     VMEM per element at Charades scale bf16 + ~13 MB resident weights;
-    fp32 activations cost ~4x per element — see supports)."""
+    fp32 activations cost ~4x per element — see supports).
+
+    Negative result (measured, round 3): pushing PAST BB=8 at Charades
+    compiles but runs SLOWER — BB=12 52.6k and BB=16 57.4k pairs/s vs
+    BB=8's 65.9k at B=6144 (scripts/bench_ablate.py with VML_SMIN_BB):
+    the bigger cells crowd out the input double-buffering, so the grid
+    stops overlapping DMA with compute. 8 stays the ceiling. Also dead:
+    running the big elementwise chains in bf16 (the XLA path's dtype) —
+    Mosaic cannot lower a bf16 `logistic` ('vector.broadcast' element
+    type verification error), so gate transcendentals must stay f32."""
     import os
 
     force = os.environ.get("VML_SMIN_BB")
