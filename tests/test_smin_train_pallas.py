@@ -153,3 +153,36 @@ def test_forward_parity_bf16():
     assert diff.mean() < 0.02 * scale, (diff.mean(), scale)
     assert np.quantile(diff, 0.98) < 0.1 * scale
     assert diff.max() < 0.5 * scale
+
+
+def test_gradient_parity_split_bb(monkeypatch):
+    """Different forward/backward cell widths (the round-3 BB split:
+    fwd BB=8 / bwd BB=4 on chip) must produce the same grads — forced
+    here to fwd=2 / bwd=1 so the split code path runs in interpret mode."""
+    monkeypatch.setenv("VML_SMIN_TRAIN_BB", "1")
+    monkeypatch.setenv("VML_SMIN_TRAIN_BB_FWD", "2")
+    params = init_smin_params(jax.random.PRNGKey(0), CFG)
+    f, fw, fs, qmask, lmask = _inputs(CFG)
+    vmask = packed_valid_mask(lmask)
+    fc, fm, fb = proposal_features_packed(f, lmask, CFG.L, CFG.C)
+    B = fc.shape[0]
+    rng = np.random.default_rng(7)
+    wm = jnp.asarray(rng.standard_normal(fm.shape).astype(np.float32))
+    wb = jnp.asarray(rng.standard_normal(fb.shape).astype(np.float32))
+
+    def scalar(stack_fn, p, fc_, fm_, fb_, fw_, fs_):
+        fm_o, fb_o = stack_fn(p, CFG, fc_, fm_, fb_, fw_, fs_, qmask,
+                              lmask, vmask)
+        return (jnp.sum(fm_o * wm * vmask[..., None])
+                + jnp.sum(fb_o * wb * lmask[..., None])) / B
+
+    g_x = jax.grad(lambda *a: scalar(_xla_stack, *a), argnums=(0, 1))(
+        params, fc, fm, fb, fw, fs)
+    g_k = jax.grad(lambda *a: scalar(_fused_stack, *a), argnums=(0, 1))(
+        params, fc, fm, fb, fw, fs)
+    flat_x, tree_x = jax.tree.flatten(g_x)
+    flat_k, tree_k = jax.tree.flatten(g_k)
+    assert tree_x == tree_k
+    for a, b in zip(flat_x, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
