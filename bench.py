@@ -64,11 +64,13 @@ import time
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
 # Serving batch 6144 fills HBM to ~80% (8192 OOMs at 17.3/15.75 GB) and
-# gains ~6% over 4096; train batch 1024 measured +28% over 512 (which was
-# +36% over 256) on the fused train path — more grid cells per step
-# amortize the kernel pipeline (recorded in the JSON as train_batch).
+# gains ~6% over 4096. Train batch: 1024 measured +28% wall over 512 on
+# the standalone step (bench_train.py), but the K-chained B=1024 train
+# program's MLIR exceeds the remote compile server's request-size limit
+# (HTTP 413) in this environment — the chained bench stays at the proven
+# 512 (+36% over 256).
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
-B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1024))
+B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 512))
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 # The train chain scans the WHOLE train step (fwd+bwd+Adam) K times inside
 # one jit; the remote AOT compile time scales with the scanned body, so
@@ -315,22 +317,30 @@ def _fused_probe() -> None:
     _progress("probe: setup (device-side inputs)")
     params, arrays, sm = _setup(cfg)
 
+    # Each stage is fault-isolated: a failed compile (e.g. the remote
+    # compile server's request-size limit) must not kill later stages.
     _progress("probe: compiling + timing fused serving chain")
     pairs, chain_dt = _measure_serving(cfg, params, arrays, sm)
     print(json.dumps({"stage": "serving", "onchip_pairs": pairs,
                       "chain_dt": chain_dt}), flush=True)
     _progress(f"probe: serving {pairs:.0f} pairs/s")
 
-    _progress("probe: compiling + timing fused train chain")
-    train_sps, train_dt = _measure_train(cfg, params)
-    print(json.dumps({"stage": "train", "train_sps": train_sps,
-                      "train_dt": train_dt}), flush=True)
-    _progress(f"probe: train {train_sps:.0f} samples/s")
+    try:
+        _progress("probe: compiling + timing fused train chain")
+        train_sps, train_dt = _measure_train(cfg, params)
+        print(json.dumps({"stage": "train", "train_sps": train_sps,
+                          "train_dt": train_dt}), flush=True)
+        _progress(f"probe: train {train_sps:.0f} samples/s")
+    except Exception as e:
+        _progress(f"probe: train stage failed: {e!r}")
 
-    _progress("probe: compiling + timing soft-NMS serving chain")
-    nms_pairs, _ = _measure_serving(cfg, params, arrays, sm, use_nms=True)
-    print(json.dumps({"stage": "nms", "nms_pairs": nms_pairs}), flush=True)
-    _progress(f"probe: nms serving {nms_pairs:.0f} pairs/s")
+    try:
+        _progress("probe: compiling + timing soft-NMS serving chain")
+        nms_pairs, _ = _measure_serving(cfg, params, arrays, sm, use_nms=True)
+        print(json.dumps({"stage": "nms", "nms_pairs": nms_pairs}), flush=True)
+        _progress(f"probe: nms serving {nms_pairs:.0f} pairs/s")
+    except Exception as e:
+        _progress(f"probe: nms stage failed: {e!r}")
 
 
 # ------------------------------------------------------------------ #
@@ -461,9 +471,16 @@ def main() -> None:
 
         xla_cfg = dataclasses.replace(cfg, fused_smi=False,
                                       fused_smi_train=False)
+        # Stage-isolated fallbacks: one failed compile must not skip the
+        # rest (the round-3 rehearsal lost its NMS number to a train-chain
+        # HTTP 413 sharing this block).
+        params = arrays = sm = None
         try:
             params, arrays, sm = _setup(xla_cfg)
-            if need_serving:
+        except Exception as e:
+            _progress(f"fallback setup failed: {e!r}")
+        if params is not None and need_serving:
+            try:
                 _progress("fallback: XLA serving chain")
                 pairs, chain_dt = _measure_serving(xla_cfg, params, arrays, sm)
                 _RESULT.update({
@@ -474,8 +491,12 @@ def main() -> None:
                         2),
                     "serving_path": "xla (fused probe incomplete)",
                 })
-            if (_RESULT["train_samples_per_sec_per_chip"] is None
-                    and _remaining() > 300):
+            except Exception as e:
+                _progress(f"fallback serving failed: {e!r}")
+        if (params is not None
+                and _RESULT["train_samples_per_sec_per_chip"] is None
+                and _remaining() > 300):
+            try:
                 _progress("fallback: XLA train chain")
                 sps, train_dt = _measure_train(xla_cfg, params)
                 _RESULT.update({
@@ -485,14 +506,18 @@ def main() -> None:
                         100 * train_flops * K_TRAIN / train_dt / PEAK_FLOPS,
                         2),
                 })
-            if (_RESULT["serving_nms_pairs_per_sec"] is None
-                    and _remaining() > 300):
+            except Exception as e:
+                _progress(f"fallback train failed: {e!r}")
+        if (params is not None
+                and _RESULT["serving_nms_pairs_per_sec"] is None
+                and _remaining() > 300):
+            try:
                 _progress("fallback: XLA soft-NMS serving chain")
                 nms_pairs, _ = _measure_serving(xla_cfg, params, arrays, sm,
                                                 use_nms=True)
                 _RESULT["serving_nms_pairs_per_sec"] = round(nms_pairs, 2)
-        except Exception as e:  # emit whatever is measured so far
-            _progress(f"fallback failed: {e!r}")
+            except Exception as e:
+                _progress(f"fallback nms failed: {e!r}")
 
     if _RESULT["train_path"] is None:
         _RESULT["train_path"] = "none (no budget left)"
