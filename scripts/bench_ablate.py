@@ -51,6 +51,7 @@ def main() -> None:
 
     from video_moment_localization_tpu.models.lstm import bilstm
     from video_moment_localization_tpu.models.smin import video_encoder
+    from video_moment_localization_tpu.ops.lstm_pallas import bilstm_fused
 
     def make_chain(run_cfg, piece=None):
         @jax.jit
@@ -64,6 +65,11 @@ def main() -> None:
                 if piece == "lstm":
                     fw_ = bilstm((qf + c.astype(qf.dtype)).astype(jnp.bfloat16),
                                  qm[..., 0], params["query_encoder"])
+                    return fw_.astype(jnp.float32).sum() * 1e-30, ()
+                if piece == "lstmf":
+                    fw_ = bilstm_fused(
+                        (qf + c.astype(qf.dtype)).astype(jnp.bfloat16),
+                        qm[..., 0], params["query_encoder"])
                     return fw_.astype(jnp.float32).sum() * 1e-30, ()
                 if piece == "venc":
                     f = video_encoder(params["video_encoder"],
@@ -86,9 +92,10 @@ def main() -> None:
             run_cfg = dataclasses.replace(cfg, num_smi_layers=1)
         else:
             os.environ["VML_SMIN_ABLATE"] = (
-                "" if name in ("full", "backbone", "lstm", "venc") else name)
+                "" if name in ("full", "backbone", "lstm", "lstmf", "venc")
+                else name)
         t0 = time.perf_counter()
-        piece = name if name in ("backbone", "lstm", "venc") else None
+        piece = name if name in ("backbone", "lstm", "lstmf", "venc") else None
         fn = make_chain(run_cfg, piece=piece)
         p = params
         if name == "l1":
@@ -109,7 +116,7 @@ def main() -> None:
     if "full" in results:
         full = results["full"]
         for name, ms in results.items():
-            if name in ("full", "l1", "backbone", "lstm", "venc"):
+            if name in ("full", "l1", "backbone", "lstm", "lstmf", "venc"):
                 continue
             print(f"section {name[2:]:6s}: {full - ms:6.2f} ms "
                   f"({100 * (full - ms) / full:4.1f}% of full)", flush=True)

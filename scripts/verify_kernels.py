@@ -301,6 +301,36 @@ def main() -> int:
               f"train grads (max rel err {worst:.2e})")
         ok &= ct_ok
 
+    # Fused 2-layer biLSTM serving kernel vs the XLA scan.
+    from video_moment_localization_tpu.models.lstm import (
+        bilstm,
+        init_bilstm_params,
+    )
+    from video_moment_localization_tpu.ops import lstm_pallas
+
+    B, S, Din, H = 64, 13, 300, 256
+    layers = init_bilstm_params(jax.random.PRNGKey(2), Din, H, 2)
+    if lstm_pallas.supports(layers, S, B):
+        x = jnp.asarray(rng.standard_normal((B, S, Din)).astype(np.float32))
+        lengths = rng.integers(1, S + 1, size=B)
+        qmask = jnp.asarray(
+            (np.arange(S)[None] < lengths[:, None]).astype(np.float32))
+        ref32 = jax.jit(lambda a, m: bilstm(a, m, layers))(x, qmask)
+        got32 = jax.jit(
+            lambda a, m: lstm_pallas.bilstm_fused(a, m, layers))(x, qmask)
+        # fp32: XLA's DEFAULT-precision bf16-pass matmuls vs the kernel's
+        # f32 accumulation — bf16-level tolerance.
+        ok &= check("charades-dims: fused biLSTM fp32", [got32], [ref32],
+                    rtol=2e-2, atol=2e-2)
+        xb = x.astype(jnp.bfloat16)
+        refb = jax.jit(lambda a, m: bilstm(a, m, layers))(xb, qmask)
+        gotb = jax.jit(
+            lambda a, m: lstm_pallas.bilstm_fused(a, m, layers))(xb, qmask)
+        ok &= check("charades-dims: fused biLSTM bf16",
+                    [np.asarray(gotb).astype(np.float32)],
+                    [np.asarray(refb).astype(np.float32)],
+                    rtol=5e-2, atol=5e-2)
+
     print("ALL KERNELS VERIFIED" if ok else "KERNEL MISMATCH")
     return 0 if ok else 1
 

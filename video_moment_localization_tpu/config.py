@@ -77,6 +77,10 @@ class ModelConfig:
     # (ops/smin_train_pallas.py): per-layer Pallas kernels with in-VMEM
     # jax.vjp backward. Auto-gated on TPU + geometry feasibility.
     fused_smi_train: bool = True
+    # Fused biLSTM serving kernel (ops/lstm_pallas.py): the whole 2-layer
+    # bidirectional query recurrence in VMEM on the grad-free path.
+    # Auto-gated on TPU + shape support (training keeps the XLA scan).
+    fused_lstm: bool = True
     # Reference-compatibility head: densify pm to (B, L, L) and run dense
     # loss/metrics with dense labels — bit-reproducing the reference's
     # top-k-over-tied-zeros eval quirk (PARITY.md #16). Default off: the
@@ -176,6 +180,7 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
         fused_content=bool(params.get("fused_content", False)),
         fused_smi=bool(params.get("fused_smi", True)),
         fused_smi_train=bool(params.get("fused_smi_train", True)),
+        fused_lstm=bool(params.get("fused_lstm", True)),
         compat_head=bool(params.get("compat_head", False)),
     )
     return Config(

@@ -125,14 +125,26 @@ def video_encoder(p: Params, video_features: jnp.ndarray, video_mask: jnp.ndarra
 
 
 def query_encoder(p: Params, query_features: jnp.ndarray, query_mask: jnp.ndarray,
-                  hidden_size: int):
+                  hidden_size: int, fused: bool = False):
     """biLSTM sentence/word features.
 
     Reference: models.py:38-64 (QueryEncoder): fs = [last valid forward
     state, backward state at t=0], fw = padded per-word outputs.
+
+    ``fused=True`` routes the grad-free fused VMEM recurrence kernel
+    (ops/lstm_pallas.py) when the shape family supports it — serving
+    only; the XLA scan stays the differentiable path.
     """
     mask = query_mask[..., 0]                                   # (B, Nq)
-    fw = bilstm(query_features, mask, p)                        # (B, Nq, 2H)
+    if fused:
+        from video_moment_localization_tpu.ops import lstm_pallas
+
+        if lstm_pallas.supports(p, mask.shape[1], mask.shape[0]):
+            fw = lstm_pallas.bilstm_fused(query_features, mask, p)
+        else:
+            fw = bilstm(query_features, mask, p)
+    else:
+        fw = bilstm(query_features, mask, p)                    # (B, Nq, 2H)
     lengths = jnp.maximum(mask.sum(axis=1).astype(jnp.int32), 1)
     idx = (lengths - 1)[:, None, None]                          # (B, 1, 1)
     f_fwd = jnp.take_along_axis(
@@ -144,11 +156,11 @@ def query_encoder(p: Params, query_features: jnp.ndarray, query_mask: jnp.ndarra
 
 
 def backbone(p: Params, cfg: ModelConfig, video_features, video_mask,
-             query_features, query_mask):
+             query_features, query_mask, fused_lstm: bool = False):
     """Cross-modal fusion f = fv * fs (reference models.py:66-83)."""
     fv = video_encoder(p["video_encoder"], video_features, video_mask)
     fs, fw = query_encoder(p["query_encoder"], query_features, query_mask,
-                           cfg.lstm_hidden_size)
+                           cfg.lstm_hidden_size, fused=fused_lstm)
     f = fv * fs[:, None, :]
     return f, fs, fw
 
@@ -603,7 +615,8 @@ def smin_forward_inference(
             dtype = jnp.dtype(cfg.compute_dtype)
             vf = video_features.astype(dtype)
             qf = query_features.astype(dtype)
-            f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
+            f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask,
+                                 fused_lstm=cfg.fused_lstm)
             vmask = packed_valid_mask(
                 length_mask.astype(jnp.float32)).astype(dtype)
             return smin_pallas.smin_stack_fused(
