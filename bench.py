@@ -64,13 +64,14 @@ import time
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
 # Serving batch 6144 fills HBM to ~80% (8192 OOMs at 17.3/15.75 GB) and
-# gains ~6% over 4096. Train batch: 1024 measured +28% wall over 512 on
-# the standalone step (bench_train.py), but the K-chained B=1024 train
-# program's MLIR exceeds the remote compile server's request-size limit
-# (HTTP 413) in this environment — the chained bench stays at the proven
-# 512 (+36% over 256).
+# gains ~6% over 4096. Train batch 1024: +6.5% over 512 on the chained
+# step (10,698 vs 10,044 samples/s) — unlocked by passing the batch as a
+# jit ARGUMENT in _make_train_chain (closure-captured device arrays are
+# embedded in the MLIR as hex literals: 292 of 293 MB at B=512, and the
+# B=1024 program hit the remote compile service's request-size limit).
+# The fix also cut the train-chain compile from ~330 s to ~40-74 s.
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
-B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 512))
+B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1024))
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
 # The train chain scans the WHOLE train step (fwd+bwd+Adam) K times inside
 # one jit; the remote AOT compile time scales with the scanned body, so
@@ -254,27 +255,31 @@ def _make_train_chain(cfg, params):
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
 
-    def one_step(p, o):
-        def loss_fn(p_):
-            out = smin_forward(p_, cfg, tvf, tvm, tqf, tqm, tlm, None)
-            loss, _ = smin_loss(out, batch)
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = optimizer.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
-
+    # The batch MUST be a jit argument, not a closure capture: closed-over
+    # device arrays are baked into the lowered program as dense hex
+    # literals — measured 292 MB of a 293 MB MLIR at B=512 (vf alone is
+    # 268 MB of hex text), which is what the remote compile service's
+    # request-size limit rejected at B=1024 (HTTP 413).
     @jax.jit
-    def train_chain(p, o):
+    def train_chain(p, o, b):
         def body(carry, _):
             p_, o_ = carry
-            p_, o_, loss = one_step(p_, o_)
-            return (p_, o_), loss
+
+            def loss_fn(p__):
+                out = smin_forward(p__, cfg, b["video_features"],
+                                   b["video_mask"], b["query_features"],
+                                   b["query_mask"], b["length_mask"], None)
+                loss, _ = smin_loss(out, b)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(p_)
+            updates, o2 = optimizer.update(grads, o_, p_)
+            return (optax.apply_updates(p_, updates), o2), loss
 
         (p, o), losses = jax.lax.scan(body, (p, o), None, length=K_TRAIN)
         return losses[-1]
 
-    return train_chain, (params, opt_state)
+    return train_chain, (params, opt_state, batch)
 
 
 def _measure_train(cfg, params):
