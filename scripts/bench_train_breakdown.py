@@ -11,6 +11,10 @@ to direct the train-MFU work:
 * ``fwdonly``  — the forward + loss, no backward: separates fwd cost.
 * ``adam``     — optimizer update alone on captured grads.
 
+Every grad LEAF is consumed (summed into the carry): consuming only one
+leaf lets XLA dead-code-eliminate the rest of the backward, which made
+the old stack/backbone numbers measure mostly the forward.
+
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train_breakdown.py \
       [--batch 512] [--k 4] [--dtype bfloat16]
@@ -102,9 +106,12 @@ def main() -> None:
         return run, init_args
 
     # Precompute backbone outputs once for the stack-only variant.
+    # vf/qf must be jit ARGS: closure-captured device arrays are embedded
+    # in the MLIR as hex literals (HTTP 413 at B=1024 through the remote
+    # compile service — same pitfall as bench.py _make_train_chain).
     f0, fs0, fw0 = jax.jit(
-        lambda p: backbone(p, cfg, vf.astype(dt), vm, qf.astype(dt), qm)
-    )(params)
+        lambda p, v, q: backbone(p, cfg, v.astype(dt), vm, q.astype(dt), qm)
+    )(params, vf, qf)
     vmask0 = packed_valid_mask(lm).astype(dt)
 
     results = {}
@@ -155,7 +162,8 @@ def main() -> None:
                         return loss_of(out)
 
                     l, g = jax.value_and_grad(lf)(p)
-                    return (l + jax.tree.leaves(g)[0].sum()).astype(
+                    gsum = sum(x.sum() for x in jax.tree.leaves(g))
+                    return (l + gsum * 1e-9).astype(
                         jnp.float32) * 1e-30, ()
 
                 c, _ = jax.lax.scan(body, bump0, None, length=K)
@@ -176,7 +184,8 @@ def main() -> None:
                                 + fw.astype(jnp.float32).sum()) * 1e-9
 
                     l, g = jax.value_and_grad(lf)(p)
-                    return (l + jax.tree.leaves(g)[0].sum()).astype(
+                    gsum = sum(x.sum() for x in jax.tree.leaves(g))
+                    return (l + gsum * 1e-9).astype(
                         jnp.float32) * 1e-30, ()
 
                 c, _ = jax.lax.scan(body, bump0, None, length=K)
