@@ -8,9 +8,11 @@ in-VMEM jax.vjp residual set (~68 bytes per fc element at bf16) needs
 the NC-row bulk of the layer (reference models.py:228-276) — over a grid
 of (batch element, pair block) cells, with the same
 recompute-plus-in-kernel-``jax.vjp`` backward as the full train kernel.
-The boundary and moment units (L- and N-row tensors, tiny at L=64) stay
-on XLA; the kernel additionally emits the mean-over-C of its output so
-the moment unit (reference models.py:297,301) never touches the NC rows.
+The boundary unit (L-row tensors, tiny at L=64) stays on XLA; the moment
+unit's conv_fc half is folded INTO the kernel — it maps the in-VMEM
+mean-over-C straight to the masked conv_fc rows (reference
+models.py:297,301), so neither the NC rows nor the (B, N, D) cmean ever
+round-trip HBM for the moment update.
 
 Layout: the layer carries fc in **c-major (B, C, N, D)** between layers
 (clip c of every pair is one contiguous (N, D) block — the same trick as
@@ -51,18 +53,27 @@ def _pick_bn(N: int, C: int, D: int, itemsize: int = 2) -> int:
     force = os.environ.get("VML_CONTENT_TRAIN_BN")
     if force:
         bn = int(force)
-        if bn < 1 or N % bn != 0:
+        if bn < 1 or N % bn != 0 or bn % 8 != 0:
             raise ValueError(
-                f"VML_CONTENT_TRAIN_BN={bn} must divide N={N}")
+                f"VML_CONTENT_TRAIN_BN={bn} must divide N={N} and be a "
+                "multiple of 8 (sublane alignment — BN=130/260 at "
+                "ActivityNet fail Mosaic BlockSpec verification)")
         return bn
-    best = 1
-    for bn in range(1, N + 1):
+    best = 0
+    for bn in range(8, N + 1, 8):
         if N % bn:
             continue
         if (C * bn <= _MAX_BWD_ROWS
                 and 25 * C * bn * D * itemsize <= 60_000_000):
             best = bn
-    return best
+    if best:
+        return best
+    # No sublane-aligned divisor (tiny test geometries, interpret mode):
+    # largest fitting divisor, aligned or not.
+    for bn in range(N, 0, -1):
+        if N % bn == 0 and C * bn <= _MAX_BWD_ROWS:
+            return bn
+    return 1
 
 
 def supports(cfg) -> bool:
@@ -73,7 +84,7 @@ def supports(cfg) -> bool:
     return cfg.D % 128 == 0 and cfg.dl % 128 == 0 and N >= 8
 
 
-def _content_rows(fc, fbar, fw, fs, cw, cb, qvalid, mask,
+def _content_rows(fc, fbar, fw, fs, cw, cb, mw, mb, qvalid, mask, pmask,
                   *, BN: int, C: int, Nq: int, D: int, dl: int, prec):
     """Content-unit math over one (C*BN, D) block — pure jnp on VMEM
     values, differentiated in the backward kernel via jax.vjp.
@@ -84,6 +95,12 @@ def _content_rows(fc, fbar, fw, fs, cw, cb, qvalid, mask,
     c_out], width max(D, dl). All broadcasts are ones/one-hot matmuls
     (Mosaic cannot transpose a sublane-axis broadcast — same rule as the
     train kernel's xpose_safe mode).
+
+    The moment unit's conv_fc (reference models.py:297,301) is folded in:
+    mw (D, D) / mb (1, D) map the block's mean-over-C straight to the
+    masked conv_fc rows, so the (B, N, D) cmean never round-trips HBM and
+    the moment unit's NC-free half runs on the kernel's idle MXU.
+    Returns (cu rows, conv_fc rows (BN, D)).
     """
     w = fc.dtype
     rows = C * BN
@@ -162,55 +179,59 @@ def _content_rows(fc, fbar, fw, fs, cw, cb, qvalid, mask,
     for e_ in range(1, C):
         acc = acc + c4[e_]
     cmean = (acc * (1.0 / C)).astype(w)                 # (BN, D)
-    return cu, cmean
+    convfc = badd(jnp.dot(cmean, mw, preferred_element_type=_F32,
+                          precision=prec), mb.astype(_F32)) * pmask
+    return cu, convfc.astype(w)
 
 
 def _fwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
-                cw_ref, cb_ref, cu_ref, cm_ref,
+                cw_ref, cb_ref, mw_ref, mb_ref, cu_ref, cfc_ref,
                 *, BN: int, C: int, Nq: int, D: int, dl: int):
     w = fc_ref.dtype
     prec = jax.lax.Precision.HIGHEST if w == _F32 else None
     rows = C * BN
     qvalid = jnp.broadcast_to(
         qflat_ref[:].reshape(1, Nq).astype(_F32), (rows, Nq))
-    mask = jnp.broadcast_to(vm_ref[:].reshape(1, BN, 1).astype(_F32),
-                            (C, BN, 1)).reshape(rows, 1)
-    cu, cmean = _content_rows(
+    pmask = vm_ref[:].reshape(BN, 1).astype(_F32)
+    mask = jnp.broadcast_to(pmask[None], (C, BN, 1)).reshape(rows, 1)
+    cu, convfc = _content_rows(
         fc_ref[:].reshape(rows, D), fbar_ref[:].reshape(BN, D),
         fw_ref[:].reshape(Nq, D), fs_ref[:].reshape(1, D),
-        cw_ref[:], cb_ref[:], qvalid, mask,
+        cw_ref[:], cb_ref[:], mw_ref[:], mb_ref[:], qvalid, mask, pmask,
         BN=BN, C=C, Nq=Nq, D=D, dl=dl, prec=prec)
     cu_ref[:] = cu.reshape(1, C, BN, D)
-    cm_ref[:] = cmean.reshape(1, BN, D)
+    cfc_ref[:] = convfc.reshape(1, BN, D)
 
 
 def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
-                cw_ref, cb_ref, dcu_ref, dcm_ref,
+                cw_ref, cb_ref, mw_ref, mb_ref, dcu_ref, dcfc_ref,
                 dfc_ref, dfbar_ref, dfw_ref, dfs_ref, dcw_ref, dcb_ref,
+                dmw_ref, dmb_ref,
                 *, BN: int, C: int, Nq: int, D: int, dl: int):
     """Re-run the block forward in VMEM and pull gradients through
     jax.vjp. dfw/dfs accumulate over the pair-block grid axis (output
-    block revisited per batch element); dcw/dcb accumulate over the whole
-    grid in fp32."""
+    block revisited per batch element); dcw/dcb/dmw/dmb accumulate over
+    the whole grid in fp32."""
     w = fc_ref.dtype
     prec = jax.lax.Precision.HIGHEST if w == _F32 else None
     rows = C * BN
     qvalid = jnp.broadcast_to(
         qflat_ref[:].reshape(1, Nq).astype(_F32), (rows, Nq))
-    mask = jnp.broadcast_to(vm_ref[:].reshape(1, BN, 1).astype(_F32),
-                            (C, BN, 1)).reshape(rows, 1)
+    pmask = vm_ref[:].reshape(BN, 1).astype(_F32)
+    mask = jnp.broadcast_to(pmask[None], (C, BN, 1)).reshape(rows, 1)
 
-    def fn(fc, fbar, fw, fs, cw, cb):
-        return _content_rows(fc, fbar, fw, fs, cw, cb, qvalid, mask,
+    def fn(fc, fbar, fw, fs, cw, cb, mw, mb):
+        return _content_rows(fc, fbar, fw, fs, cw, cb, mw, mb, qvalid,
+                             mask, pmask,
                              BN=BN, C=C, Nq=Nq, D=D, dl=dl, prec=prec)
 
     _, vjp = jax.vjp(
         fn,
         fc_ref[:].reshape(rows, D), fbar_ref[:].reshape(BN, D),
         fw_ref[:].reshape(Nq, D), fs_ref[:].reshape(1, D),
-        cw_ref[:], cb_ref[:])
-    dfc, dfbar, dfw, dfs, dcw, dcb = vjp(
-        (dcu_ref[:].reshape(rows, D), dcm_ref[:].reshape(BN, D)))
+        cw_ref[:], cb_ref[:], mw_ref[:], mb_ref[:])
+    dfc, dfbar, dfw, dfs, dcw, dcb, dmw, dmb = vjp(
+        (dcu_ref[:].reshape(rows, D), dcfc_ref[:].reshape(BN, D)))
 
     dfc_ref[:] = dfc.reshape(1, C, BN, D)
     dfbar_ref[:] = dfbar.reshape(1, BN, D)
@@ -233,11 +254,15 @@ def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
     def _():
         dcw_ref[:] = dcw.astype(_F32)
         dcb_ref[:] = dcb.astype(_F32)
+        dmw_ref[:] = dmw.astype(_F32)
+        dmb_ref[:] = dmb.astype(_F32)
 
     @pl.when(jnp.logical_not(first))
     def _():
         dcw_ref[:] = dcw_ref[:] + dcw.astype(_F32)
         dcb_ref[:] = dcb_ref[:] + dcb.astype(_F32)
+        dmw_ref[:] = dmw_ref[:] + dmw.astype(_F32)
+        dmb_ref[:] = dmb_ref[:] + dmb.astype(_F32)
 
 
 def _specs(B, BN, C, N, Nq, D, dl):
@@ -255,27 +280,35 @@ def _specs(B, BN, C, N, Nq, D, dl):
         pl.BlockSpec((1, BN, 1), per_bn3, memory_space=pltpu.VMEM),    # vmask
         pl.BlockSpec((3 * D + 3 * dl, W), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((6, W), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),         # mw
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # mb
     ]
     return ins, per_bn, per_bn3, per_b3, const2, W
 
 
 def _flops(N, C, Nq, D, dl):
     NC = N * C
-    return 2 * NC * (2 * D * dl + dl * dl + 2 * Nq * dl + 2 * C * dl + dl * D)
+    return (2 * NC * (2 * D * dl + dl * dl + 2 * Nq * dl + 2 * C * dl
+                      + dl * D)
+            + 2 * N * D * D)  # folded moment conv_fc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def content_rows_train(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
-    """Fused row-blocked ContentUnit (fwd) on c-major fc.
+def content_rows_train(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat,
+                       vmask):
+    """Fused row-blocked ContentUnit + moment conv_fc (fwd) on c-major fc.
 
-    static = (BN, C, N, Nq, D, dl, interpret); fc_cm (B, C, N, D);
-    fbar (B, N, D); fw (B, Nq, D); fs (B, 1, D); qflat (B, 1, Nq) fp32;
-    vmask (B, N, 1) fp32. Returns (cu_cm (B, C, N, D), cmean (B, N, D)).
+    static = (BN, C, N, Nq, D, dl, interpret); mw (D, D) / mb (1, D) the
+    moment unit's conv_fc weights (folded — see _content_rows); fc_cm
+    (B, C, N, D); fbar (B, N, D); fw (B, Nq, D); fs (B, 1, D); qflat
+    (B, 1, Nq) fp32; vmask (B, N, 1) fp32. Returns (cu_cm (B, C, N, D),
+    convfc (B, N, D) — the masked conv_fc term of the moment update).
     """
-    return _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask)
+    return _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat,
+                     vmask)
 
 
-def _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
+def _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask):
     BN, C, N, Nq, D, dl, interpret = static
     B = fc_cm.shape[0]
     dtype = fc_cm.dtype
@@ -303,18 +336,19 @@ def _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
             transcendentals=B * N * C * (Nq + C),
         ),
         interpret=interpret,
-    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb)
+    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb, mw, mb)
     return cu, cm
 
 
-def _fwd_vjp(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask):
-    out = _fwd_call(static, cw, cb, fc_cm, fbar, fw, fs, qflat, vmask)
-    return out, (cw, cb, fc_cm, fbar, fw, fs, qflat, vmask)
+def _fwd_vjp(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask):
+    out = _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat,
+                    vmask)
+    return out, (cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask)
 
 
 def _bwd_vjp(static, res, cots):
     BN, C, N, Nq, D, dl, interpret = static
-    cw, cb, fc_cm, fbar, fw, fs, qflat, vmask = res
+    cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask = res
     dcu, dcm = cots
     B = fc_cm.shape[0]
     dtype = fc_cm.dtype
@@ -338,6 +372,8 @@ def _bwd_vjp(static, res, cots):
             pl.BlockSpec((3 * D + 3 * dl, W), const2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, W), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),   # dmw
+            pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),   # dmb
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, C, N, D), dtype),
@@ -346,6 +382,8 @@ def _bwd_vjp(static, res, cots):
             jax.ShapeDtypeStruct((B, 1, D), dtype),
             jax.ShapeDtypeStruct((3 * D + 3 * dl, W), _F32),
             jax.ShapeDtypeStruct((6, W), _F32),
+            jax.ShapeDtypeStruct((D, D), _F32),
+            jax.ShapeDtypeStruct((1, D), _F32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -357,9 +395,9 @@ def _bwd_vjp(static, res, cots):
             transcendentals=2 * B * N * C * (Nq + C),
         ),
         interpret=interpret,
-    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb, dcu, dcm)
-    dfc, dfbar, dfw, dfs, dcw, dcb = outs
-    return (dcw, dcb, dfc, dfbar, dfw, dfs,
+    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb, mw, mb, dcu, dcm)
+    dfc, dfbar, dfw, dfs, dcw, dcb, dmw, dmb = outs
+    return (dcw, dcb, dmw, dmb, dfc, dfbar, dfw, dfs,
             jnp.zeros_like(qflat), jnp.zeros_like(vmask))
 
 
@@ -373,8 +411,10 @@ def smi_stack_content_train(params, cfg, fc, fm, fb, fw, fs, query_mask,
     maps too large for the full fused train kernel, e.g. ActivityNet).
 
     Drop-in for the `smi_block_packed` loop in `smin_forward`: fc is
-    carried c-major between layers; the boundary and moment units run on
-    XLA, the moment unit consuming the kernel's mean-over-C directly.
+    carried c-major between layers; the boundary unit and the moment
+    unit's boundary half run on XLA, while the moment unit's conv_fc is
+    folded INTO the kernel (it consumes the in-VMEM mean-over-C, so the
+    (B, N, D) cmean never round-trips HBM — reference models.py:297,301).
     Returns (fm_out (B, N, D), fb_out (B, L, D)).
     """
     from video_moment_localization_tpu.models.smin import (
@@ -403,12 +443,14 @@ def smi_stack_content_train(params, cfg, fc, fm, fb, fw, fs, query_mask,
 
     for i, p_layer in enumerate(params["smi"]):
         fbar = moment_gate(fm, fs)                      # (B, N, D) XLA
-        cu_cm, cmean = content_rows_train(
-            static, cw[i].astype(dtype), cb[i], fc_cm, fbar, fw, fs3,
-            qflat, vm3)
+        mfc = p_layer["moment"]["conv_fc"]
+        cu_cm, conv_fc = content_rows_train(
+            static, cw[i].astype(dtype), cb[i], mfc["w"].astype(dtype),
+            mfc["b"][None, :], fc_cm, fbar, fw, fs3, qflat, vm3)
         bu = boundary_unit_packed(p_layer["boundary"], fb, fw, fs, fm,
                                   query_mask, length_mask, L, fbar=fbar)
-        # moment unit on the kernel's mean-over-C (models.py:297,301)
+        # moment unit's boundary half on XLA; the conv_fc half came out
+        # of the kernel already masked (models.py:288-303).
         from video_moment_localization_tpu.ops.packing import (
             gather_rows,
             triu_packing,
@@ -417,8 +459,7 @@ def smi_stack_content_train(params, cfg, fc, fm, fb, fw, fs, query_mask,
         pk = triu_packing(L)
         outer = gather_rows(bu, pk.i_idx) * gather_rows(bu, pk.j_idx)
         conv_fb = _linear(p_layer["moment"]["conv_fb"], outer) * m_mask
-        conv_fc = _linear(p_layer["moment"]["conv_fc"], cmean) * m_mask
-        fm = conv_fb + conv_fc + fm
+        fm = conv_fb + conv_fc.astype(dtype) + fm
         fb = bu
         fc_cm = cu_cm
     return fm, fb
