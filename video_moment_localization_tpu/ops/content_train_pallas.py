@@ -44,6 +44,8 @@ _NEG_INF = -1e9
 
 # Backward-cell VMEM bound: content-only vjp residuals measured well below
 # the full-layer ~68 B/elem; 2080-row cells (BN=520, C=4) compile and fit.
+# BN sweep at ActivityNet B=128 (v5e, bf16): 520 -> 711, 416 -> 692,
+# 208 -> 674 samples/s — the largest fitting divisor wins; keep auto-pick.
 _MAX_BWD_ROWS = 2176
 
 
