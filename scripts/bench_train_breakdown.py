@@ -7,13 +7,42 @@ to direct the train-MFU work:
 * ``full``     — the production train step (fwd + bwd + Adam).
 * ``stack``    — grad of the fused SMI-stack + heads only (backbone
                  outputs as constants): the Pallas fwd/bwd kernels.
-* ``backbone`` — grad of venc + biLSTM + fusion only.
+* ``backbone`` — grad of venc + biLSTM + fusion under a SUM loss.
+                 CAVEAT: the all-ones cotangent lets XLA degenerate the
+                 output-side backward matmuls into column sums — this
+                 UNDERCOUNTS the real backbone backward; prefer
+                 ``backbone_rc``.
+* ``backbone_rc`` — same but loss = <f, rf> + <fw, rw> with random
+                 cotangent arrays: the honest backbone fwd+bwd cost.
+* ``lstm_rc``  — query encoder (biLSTM) alone under a random cotangent.
 * ``fwdonly``  — the forward + loss, no backward: separates fwd cost.
-* ``adam``     — optimizer update alone on captured grads.
+* ``adam``     — optimizer update alone on captured grads (every
+                 updated leaf consumed into the carry).
+* ``empty``    — the empty K-chain: per-call dispatch overhead floor.
+                 At K=4 the ~27 ms/call tunnel dispatch adds ~7 ms/step
+                 to EVERY variant; subtract this floor before comparing.
 
 Every grad LEAF is consumed (summed into the carry): consuming only one
 leaf lets XLA dead-code-eliminate the rest of the backward, which made
-the old stack/backbone numbers measure mostly the forward.
+the old stack/backbone numbers measure mostly the forward (and the old
+``adam`` number measure one leaf's update out of 87).
+
+MEASURED (Charades cfg, B=1024, K=16, bf16, net of the 1.79 ms floor):
+
+    full        85.04 -> 83.3   the production fused train step
+    stack       77.66 -> 75.9   proposal fwd + SMI train kernels + heads
+    fwdonly     23.57 -> 21.8   whole forward + loss (no backward)
+    backbone_rc  6.22 ->  4.4   venc + biLSTM fwd+bwd, honest cotangent
+    lstm_rc      7.86 ->  6.1   biLSTM alone (take_along_axis bwd incl.)
+    adam         2.09 ->  0.3   optimizer update
+    (proposal pallas bwd: 6.3 — scripts/probe_train_glue.py)
+
+Decomposition closes: stack + backbone + proposal-bwd + adam = 86.9 vs
+full 83.3 (overlap/noise). The train step is ~91% the fused SMI-stack
+kernels; their bwd/fwd ratio is ~3.0 = the in-VMEM recompute + vjp
+structural bound (1x recompute + 2x backward GEMMs). An earlier
+"full - stack - backbone = 42.5 ms unaccounted" reading came from the
+pre-fix DCE-broken variants and was wrong.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train_breakdown.py \
@@ -37,7 +66,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--variants", default="full,stack,backbone,fwdonly,adam")
+    ap.add_argument(
+        "--variants",
+        default="full,stack,backbone,backbone_rc,lstm_rc,fwdonly,adam,empty")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +87,7 @@ def main() -> None:
     from video_moment_localization_tpu.models.smin import (
         backbone,
         localization_packed,
+        query_encoder,
         smin_forward,
     )
     from video_moment_localization_tpu.ops.proposal import (
@@ -192,6 +224,59 @@ def main() -> None:
                 return c
 
             fn = lambda: np.asarray(bb_run(params, vf, qf, jnp.float32(0.0)))  # noqa: E731,E501
+        elif name in ("backbone_rc", "lstm_rc"):
+            # Honest backward: random cotangent arrays (jit args, never
+            # closure captures) force the full dL/dW matmuls + the
+            # reverse biLSTM scan instead of ones-cotangent column sums.
+            rf = jnp.asarray(rng.standard_normal(
+                (B, cfg.T, cfg.D)).astype(np.float32)) * 1e-3
+            rw = jnp.asarray(rng.standard_normal(
+                (B, cfg.max_query_length,
+                 2 * cfg.lstm_hidden_size)).astype(np.float32)) * 1e-3
+            rs = jnp.asarray(rng.standard_normal(
+                (B, 2 * cfg.lstm_hidden_size)).astype(np.float32)) * 1e-3
+            lstm_only = name == "lstm_rc"
+
+            @jax.jit
+            def rc_run(p, vf_, qf_, rf_, rw_, rs_, bump0):
+                def body(c, _):
+                    def lf(pp):
+                        if lstm_only:
+                            fs, fw = query_encoder(
+                                pp["query_encoder"],
+                                (qf_ + c).astype(dt), qm,
+                                cfg.lstm_hidden_size)
+                            return (
+                                (fw.astype(jnp.float32) * rw_).sum()
+                                + (fs.astype(jnp.float32) * rs_).sum())
+                        f, fs, fw = backbone(
+                            pp, cfg, (vf_ + c).astype(dt), vm,
+                            qf_.astype(dt), qm)
+                        return ((f.astype(jnp.float32) * rf_).sum()
+                                + (fw.astype(jnp.float32) * rw_).sum())
+
+                    l, g = jax.value_and_grad(lf)(p)
+                    gsum = sum(x.sum() for x in jax.tree.leaves(g))
+                    return (l + gsum * 1e-9).astype(
+                        jnp.float32) * 1e-30, ()
+
+                c, _ = jax.lax.scan(body, bump0, None, length=K)
+                return c
+
+            fn = lambda: np.asarray(rc_run(params, vf, qf, rf, rw, rs,  # noqa: E731,E501
+                                           jnp.float32(0.0)))
+        elif name == "empty":
+
+            @jax.jit
+            def empty_run(p, bump0):
+                def body(c, _):
+                    return (c + jax.tree.leaves(p)[0].sum().astype(
+                        jnp.float32) * 1e-30), ()
+
+                c, _ = jax.lax.scan(body, bump0, None, length=K)
+                return c
+
+            fn = lambda: np.asarray(empty_run(params, jnp.float32(0.0)))  # noqa: E731,E501
         elif name == "fwdonly":
 
             @jax.jit
@@ -217,8 +302,12 @@ def main() -> None:
                         jax.tree.map(lambda x: x + c.astype(x.dtype), g),
                         o_, p_)
                     p2 = optax.apply_updates(p_, up)
-                    return (p2, o2, jax.tree.leaves(p2)[0].sum().astype(
-                        jnp.float32) * 1e-30), ()
+                    # Consume EVERY updated leaf: a one-leaf carry lets
+                    # XLA dead-code-eliminate the other 86 updates
+                    # (measured 0.94 vs 1.19 ms/step at K=32).
+                    tot = sum(x.sum().astype(jnp.float32)
+                              for x in jax.tree.leaves(p2))
+                    return (p2, o2, tot * 1e-30), ()
 
                 (p_, o_, c), _ = jax.lax.scan(
                     body, (p, o, bump0), None, length=K)
