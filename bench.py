@@ -70,14 +70,19 @@ BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 # embedded in the MLIR as hex literals: 292 of 293 MB at B=512, and the
 # B=1024 program hit the remote compile service's request-size limit).
 # The fix also cut the train-chain compile from ~330 s to ~40-74 s.
+# B=2048 measured SLOWER (11,375 vs ~12,000 samples/s at B=1024): the
+# kernels' grid already saturates the chip at 1024; bigger batches only
+# add HBM pressure.
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
 B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1024))
-K_CHAIN = int(os.environ.get("VML_BENCH_K", 8))  # scan iters inside one jit
-# The train chain scans the WHOLE train step (fwd+bwd+Adam) K times inside
-# one jit; the remote AOT compile time scales with the scanned body, so
-# the train chain uses a smaller K (timing precision is unaffected: one
-# chain still runs ~0.2 s on chip).
-K_TRAIN = int(os.environ.get("VML_BENCH_K_TRAIN", 4))
+# K = scan iters inside one jit. Each dispatched call through the tunnel
+# costs ~27 ms host-side regardless of device work, so per-step overhead
+# is ~27/K ms: at the old K_TRAIN=4 that shaved ~6.8 ms/step off the
+# reported train number (10.7k reported vs 12.0k on-chip at K=16 —
+# scripts/bench_train_breakdown.py). K only sets the scan trip count
+# (the body compiles once), so longer chains cost compile nothing.
+K_CHAIN = int(os.environ.get("VML_BENCH_K", 16))
+K_TRAIN = int(os.environ.get("VML_BENCH_K_TRAIN", 16))
 BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 1500))
 _T0 = time.perf_counter()
 
