@@ -118,9 +118,11 @@ def main() -> None:
                                   **shard)
         trainer.load_for_test(use_best=args.best)
         metrics = trainer.evaluate(test_loader)
-        for k, v in metrics.items():
-            print(f"{k} - {v}")
-        print(f"throughput - {trainer.timer.throughput:.1f} query-video pairs/s")
+        if shard_id == 0:  # one metrics report per job under --distributed
+            for k, v in metrics.items():
+                print(f"{k} - {v}")
+            print(f"throughput - {trainer.timer.throughput:.1f} "
+                  "query-video pairs/s")
 
 
 if __name__ == "__main__":

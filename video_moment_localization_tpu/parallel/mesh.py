@@ -59,9 +59,28 @@ def initialize_distributed(
     if _distributed_initialized:
         return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # JAX's own cluster auto-detection covers SLURM/OpenMPI/GKE/Cloud TPU
+    # but has no plain-env-var cluster, so honor the documented
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID here (tests/test_multiprocess.py
+    # launches real 2-process CPU jobs through exactly this path).
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     explicit = addr is not None or num_processes is not None
     try:
         if explicit:
+            plats = str(getattr(jax.config, "jax_platforms", None)
+                        or os.environ.get("JAX_PLATFORMS", ""))
+            if "cpu" in plats:
+                # Cross-process collectives on the CPU backend need the
+                # gloo implementation (TPU uses ICI/DCN natively); must be
+                # configured before the backend initializes.
+                try:
+                    jax.config.update(
+                        "jax_cpu_collectives_implementation", "gloo")
+                except Exception:  # older jax: option absent
+                    pass
             jax.distributed.initialize(
                 coordinator_address=addr,
                 num_processes=num_processes,

@@ -289,9 +289,15 @@ class Trainer:
         best_key = f"eval_{self.cfg.save_best}" if self.cfg.save_best else None
         best = max(stats[best_key], default=-float("inf")) if best_key else None
 
+        # Multi-process: every process runs the identical SPMD epoch loop,
+        # but host-side artifacts (stdout, stats.json, checkpoints) are
+        # process 0's job alone — concurrent orbax saves to one path would
+        # race, and duplicate metric lines would break stdout parsing.
+        is_main = jax.process_index() == 0
         with trace_context(self.cfg.profile_dir):
             for epoch in range(start_epoch, self.cfg.num_epochs + 1):
-                print(f"Training Epoch - {epoch}")
+                if is_main:
+                    print(f"Training Epoch - {epoch}")
                 self.timer.reset()
                 train_loss, train_metrics = self._run_epoch(train_loader, epoch, True)
                 train_tput = self.timer.throughput
@@ -300,16 +306,20 @@ class Trainer:
                            or epoch == self.cfg.num_epochs)
                 if do_eval:
                     eval_loss, eval_metrics = self._run_epoch(eval_loader, epoch, False)
-                    print(f"Training Loss - {train_loss:.4f}, "
-                          f"Eval Loss - {eval_loss:.4f}")
+                    if is_main:
+                        print(f"Training Loss - {train_loss:.4f}, "
+                              f"Eval Loss - {eval_loss:.4f}")
                 else:
                     eval_loss, eval_metrics = None, {}
-                    print(f"Training Loss - {train_loss:.4f}")
-                for k, v in train_metrics.items():
-                    print(f"train_{k} - {v}")
-                for k, v in eval_metrics.items():
-                    print(f"eval_{k} - {v}")
-                print(f"throughput - {train_tput:.1f} query-video pairs/s (train)")
+                    if is_main:
+                        print(f"Training Loss - {train_loss:.4f}")
+                if is_main:
+                    for k, v in train_metrics.items():
+                        print(f"train_{k} - {v}")
+                    for k, v in eval_metrics.items():
+                        print(f"eval_{k} - {v}")
+                    print(f"throughput - {train_tput:.1f} "
+                          "query-video pairs/s (train)")
 
                 stats["epoch"].append(epoch)
                 stats["train_loss"].append(train_loss)
@@ -324,17 +334,22 @@ class Trainer:
                 for k, v in eval_metrics.items():
                     stats[f"eval_{k}"].append(v)
 
-                os.makedirs(os.path.dirname(self.stats_path) or ".", exist_ok=True)
-                with open(self.stats_path, "w") as f:
-                    json.dump(stats, f)
-                save_checkpoint(self.model_path, epoch, self.params, self.opt_state)
+                if is_main:
+                    os.makedirs(os.path.dirname(self.stats_path) or ".",
+                                exist_ok=True)
+                    with open(self.stats_path, "w") as f:
+                        json.dump(stats, f)
+                    save_checkpoint(self.model_path, epoch, self.params,
+                                    self.opt_state)
                 if best_key is not None and self.cfg.save_best in eval_metrics:
                     current = eval_metrics[self.cfg.save_best]
                     if current > best:
                         best = current
-                        save_checkpoint(self.best_model_path, epoch,
-                                        self.params, self.opt_state)
-                        print(f"new best {best_key} - {best} (epoch {epoch})")
+                        if is_main:
+                            save_checkpoint(self.best_model_path, epoch,
+                                            self.params, self.opt_state)
+                            print(f"new best {best_key} - {best} "
+                                  f"(epoch {epoch})")
 
     def evaluate(self, loader: BatchLoader) -> Dict[str, float]:
         """Metrics-only pass over a test loader (reference main.py:193-211)."""

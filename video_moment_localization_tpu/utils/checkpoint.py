@@ -30,6 +30,24 @@ def checkpoint_paths(checkpoint_path: str, experiment: str) -> Tuple[str, str]:
     return prefix + "model.ckpt", prefix + "stats.json"
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """A Checkpointer whose barrier scope matches who actually saves.
+
+    Under multi-process (jax.distributed active) only process 0 writes
+    checkpoints (params are fully replicated, trainer.fit gates the call)
+    — but orbax's default save ends with a GLOBAL barrier, which would
+    deadlock the processes that never call save. Restricting
+    active_processes to {0} scopes the barrier to the one caller.
+    """
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}),
+        )
+    return ocp.PyTreeCheckpointer()
+
+
 def save_checkpoint(path: str, epoch: int, params: Any, opt_state: Any) -> None:
     """Overwrite the experiment checkpoint with the current train state."""
     state = {
@@ -39,7 +57,7 @@ def save_checkpoint(path: str, epoch: int, params: Any, opt_state: Any) -> None:
     }
     abspath = os.path.abspath(path)
     os.makedirs(os.path.dirname(abspath), exist_ok=True)
-    ocp.PyTreeCheckpointer().save(abspath, state, force=True)
+    _checkpointer().save(abspath, state, force=True)
 
 
 def restore_checkpoint(
