@@ -220,7 +220,7 @@ def smi_layer_rows(fc, fm, f_b, fw_rows, fs_rows, cw, cb, bwm, bbv, mwm, mbv,
                    *, sel_i, sel_j, rsum, qkeep_nc, qkeep_l, lkeep,
                    mcol, mrow, lrow, BB: int, N: int, L: int, C: int,
                    Nq: int, D: int, dl: int, prec, ablate: str = "",
-                   xpose_safe: bool = False):
+                   xpose_safe: bool = False, int8: bool = False):
     """One SMI layer over c-major packed rows — the shared kernel math.
 
     Pure jnp function of VMEM-resident values: the serving kernel's
@@ -417,14 +417,51 @@ def smi_layer_rows(fc, fm, f_b, fw_rows, fs_rows, cw, cb, bwm, bbv, mwm, mbv,
     m_fc_w = mwm[D : 2 * D, :]
     m_fb_b = mbv[0:1, :]
     m_fc_b = mbv[1:2, :]
-    outer = (jnp.dot(sel_i, bu, preferred_element_type=f32, precision=prec)
-             * jnp.dot(sel_j, bu, preferred_element_type=f32, precision=prec)
-             ).astype(w)                             # (BB*N, D)
-    conv_fb = badd(jnp.dot(outer, m_fb_w, preferred_element_type=f32,
-                           precision=prec), m_fb_b)
-    cu_mean = _mean_over_c(cu, BB, N, C, D).astype(w)
-    conv_fc = badd(jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32,
-                           precision=prec), m_fc_b)
+    outer32 = (jnp.dot(sel_i, bu, preferred_element_type=f32, precision=prec)
+               * jnp.dot(sel_j, bu, preferred_element_type=f32,
+                         precision=prec))            # (BB*N, D) f32
+    cu_mean32 = _mean_over_c(cu, BB, N, C, D)        # (BB*N, D) f32
+    if int8:
+        # int8 MXU probe for the two (BB*N, D) x (D, D) moment convs —
+        # the layer's largest matmuls (~44% of its matmul FLOPs; XLA
+        # micro-bench: int8 dot 4.8 us vs bf16 14.6 us at these shapes).
+        # MEASURED NEGATIVE RESULT (Charades B=6144, BB=8): serving is
+        # 88.9 ms/batch with the probe vs 89.1 without — the kernel's
+        # critical path at this cell size is VPU/DMA work, so the moment
+        # matmuls execute in its shadow and shrinking MXU time buys
+        # nothing end-to-end. Kept opt-in (VML_SMIN_INT8=1) as the
+        # scaffold for a future quantized mode; numerics at random
+        # weights: pm corr 0.9969 vs bf16, max|d| 0.45 (interpret-mode,
+        # /tmp-probe recorded here) — would need a trained-model recall
+        # evaluation before any accuracy claim. Dynamic symmetric
+        # per-row activation scales x per-column weight scales; the
+        # int32 accumulator is exact, so the only quantization error is
+        # the two round-to-127 steps.
+        def q8dot(x32, wmat, bias):
+            # One divide per ROW/COLUMN (the per-element op is a multiply:
+            # full-array VPU divides measured ~neutral vs the MXU saving).
+            amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+            rs_inv = 127.0 / (amax + 1e-30)
+            xq = jnp.round(x32 * rs_inv).astype(jnp.int8)
+            wf = wmat.astype(f32)
+            cmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+            cs_inv = 127.0 / (cmax + 1e-30)
+            wq = jnp.round(wf * cs_inv).astype(jnp.int8)
+            oi = jax.lax.dot_general(
+                xq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            scale = (amax * (1 / 127.0)) * (cmax * (1 / 127.0))
+            return badd(oi.astype(f32) * scale, bias)
+
+        conv_fb = q8dot(outer32, m_fb_w, m_fb_b)
+        conv_fc = q8dot(cu_mean32, m_fc_w, m_fc_b)
+    else:
+        outer = outer32.astype(w)
+        conv_fb = badd(jnp.dot(outer, m_fb_w, preferred_element_type=f32,
+                               precision=prec), m_fb_b)
+        cu_mean = cu_mean32.astype(w)
+        conv_fc = badd(jnp.dot(cu_mean, m_fc_w, preferred_element_type=f32,
+                               precision=prec), m_fc_b)
     mu = (((conv_fb + conv_fc) * mrow) + fm.astype(f32)).astype(w)
 
     return cu, mu, bu
@@ -434,7 +471,8 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
             mcol_ref, wc_ref, wb_ref, seli_ref, selj_ref, rsum_ref,
             cw_ref, cb_ref, bw_ref, bb_ref, mw_ref, mb_ref, hw_ref, hb_ref,
             pm_ref, pb_ref, *, BB: int, T: int, L: int, C: int, N: int,
-            Nq: int, D: int, dl: int, n_layers: int, ablate: str = ""):
+            Nq: int, D: int, dl: int, n_layers: int, ablate: str = "",
+            int8: bool = False):
     """One grid cell: BB batch elements through the full SMIN interior.
 
     All per-element ops are batched across BB with block-diagonal masking
@@ -521,7 +559,7 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
             qkeep_nc=qkeep_nc, qkeep_l=qkeep_l, lkeep=lkeep,
             mcol=mcol, mrow=mrow, lrow=lrow,
             BB=BB, N=N, L=L, C=C, Nq=Nq, D=D, dl=dl, prec=prec,
-            ablate=ablate,
+            ablate=ablate, int8=int8,
         )
 
     fc, fm, f_b = jax.lax.fori_loop(0, n_layers, layer_body, (fc, fm, f_b))
@@ -629,6 +667,7 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
         _kernel, BB=BB, T=T, L=L, C=C, N=N, Nq=Nq, D=D, dl=dl,
         n_layers=n_layers,
         ablate=__import__("os").environ.get("VML_SMIN_ABLATE", ""),
+        int8=bool(int(__import__("os").environ.get("VML_SMIN_INT8", "0"))),
     )
     per_b = lambda i: (i, 0, 0)   # noqa: E731
     const2 = lambda i: (0, 0)     # noqa: E731
