@@ -177,3 +177,56 @@ def test_missing_checkpoint_raises(trained, tmp_path):
         str(root / "ckpt"), str(tmp_path / "missing")))
     with pytest.raises(FileNotFoundError, match="No saved model"):
         MomentLocalizer.from_checkpoint(str(bad_cfg), glove_path=glove)
+
+
+def test_meshed_localizer_matches_single_device(trained):
+    """Multi-chip serving (data mesh): identical moments to the
+    single-device localizer — params replicated, batches sharded, the
+    SPMD scorer needs no collectives (top-k is along the proposal axis)."""
+    root, cfg_path, glove = trained
+    import jax
+
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    old = os.getcwd()
+    os.chdir(str(root))
+    try:
+        solo = MomentLocalizer.from_checkpoint(cfg_path, glove_path=glove,
+                                               serve_batch=8)
+        meshed = MomentLocalizer.from_checkpoint(
+            cfg_path, glove_path=glove, serve_batch=8,
+            num_devices=jax.device_count())
+    finally:
+        os.chdir(old)
+    assert meshed.mesh is not None and meshed.mesh.size == 8
+    # buckets never drop below the device count (even shards per bucket)
+    assert meshed.bucket_sizes == [8]
+
+    rng = np.random.default_rng(7)
+    reqs = [(rng.standard_normal((int(n), 32)).astype(np.float32),
+             "person opens the door", float(n) * 0.5)
+            for n in (9, 30, 50, 14, 21, 8, 40, 17, 26, 33)]  # 2 chunks: 8+2
+    a = solo.localize_batch(reqs, top_k=4)
+    b = meshed.localize_batch(reqs, top_k=4)
+    assert len(a) == len(b) == len(reqs)
+    for ms_a, ms_b in zip(a, b):
+        assert [(m.start, m.end) for m in ms_a] == [(m.start, m.end) for m in ms_b]
+        np.testing.assert_allclose([m.score for m in ms_a],
+                                   [m.score for m in ms_b], atol=1e-6)
+
+
+def test_meshed_localizer_validates_serve_batch(trained):
+    root, cfg_path, glove = trained
+    import jax
+
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    old = os.getcwd()
+    os.chdir(str(root))
+    try:
+        with pytest.raises(ValueError, match="multiple of the mesh size"):
+            MomentLocalizer.from_checkpoint(
+                cfg_path, glove_path=glove, serve_batch=6,
+                num_devices=jax.device_count())
+    finally:
+        os.chdir(old)

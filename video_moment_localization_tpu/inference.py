@@ -66,13 +66,33 @@ class MomentLocalizer:
 
     def __init__(self, model_cfg: ModelConfig, params, embedding: WordEmbedding,
                  serve_batch: int = 16, use_nms: bool = False,
-                 nms_sigma: float = 0.5):
+                 nms_sigma: float = 0.5, mesh=None):
+        """``mesh``: optional 1-D data `jax.sharding.Mesh` for multi-chip
+        serving — params are replicated, every scored batch is sharded
+        over the data axis, and the jitted scorer runs SPMD (top-k is
+        along the unsharded proposal axis, so XLA inserts no collectives
+        at all). ``serve_batch`` must divide evenly across the mesh."""
         self.cfg = model_cfg
-        self.params = params
         self.embedding = embedding
-        self.serve_batch = serve_batch
         self.use_nms = use_nms
         self.nms_sigma = nms_sigma
+        self.mesh = mesh
+        min_bucket = 1
+        if mesh is not None:
+            from video_moment_localization_tpu.parallel.mesh import (
+                batch_sharding,
+                put_replicated,
+            )
+
+            if serve_batch % mesh.size:
+                raise ValueError(
+                    f"serve_batch ({serve_batch}) must be a multiple of the "
+                    f"mesh size ({mesh.size})")
+            params = put_replicated(params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            min_bucket = mesh.size
+        self.params = params
+        self.serve_batch = serve_batch
         self._score = jax.jit(
             partial(self._score_impl, model_cfg, use_nms, nms_sigma),
             static_argnums=(7,),  # top_k is a static shape parameter
@@ -80,9 +100,11 @@ class MomentLocalizer:
         # Power-of-two batch buckets up to serve_batch: jit caches one
         # executable per distinct input batch shape, so padding to the
         # nearest bucket (instead of always serve_batch) trades a few lazy
-        # compiles for ~2x less wasted tail compute on average.
+        # compiles for ~2x less wasted tail compute on average. Under a
+        # mesh, every bucket is a multiple of the device count so each
+        # executable shards evenly.
         self.bucket_sizes: List[int] = []
-        b = 1
+        b = min_bucket
         while b < serve_batch:
             self.bucket_sizes.append(b)
             b *= 2
@@ -117,9 +139,12 @@ class MomentLocalizer:
     @classmethod
     def from_checkpoint(cls, config_path: str, glove_path: Optional[str] = None,
                         serve_batch: int = 16,
-                        use_nms: Optional[bool] = None) -> "MomentLocalizer":
+                        use_nms: Optional[bool] = None,
+                        num_devices: Optional[int] = None) -> "MomentLocalizer":
         """use_nms=None inherits the config's ``nms`` eval setting, so a
-        model evaluated with soft-NMS serves with soft-NMS too."""
+        model evaluated with soft-NMS serves with soft-NMS too.
+        ``num_devices``: serve data-parallel over the first N devices
+        (None = single device; pass ``jax.device_count()`` for all)."""
         cfg: Config = load_config(config_path)
         embedding = WordEmbedding.load(glove_path)
         params = init_smin_params(jax.random.PRNGKey(cfg.seed), cfg.model)
@@ -128,10 +153,15 @@ class MomentLocalizer:
                                       opt_state_template=None)
         if restored is None:
             raise FileNotFoundError(f"No saved model at {model_path}!")
+        mesh = None
+        if num_devices is not None and num_devices > 1:
+            from video_moment_localization_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(num_devices)
         return cls(cfg.model, restored["params"], embedding,
                    serve_batch=serve_batch,
                    use_nms=cfg.nms if use_nms is None else use_nms,
-                   nms_sigma=cfg.nms_sigma)
+                   nms_sigma=cfg.nms_sigma, mesh=mesh)
 
     # ------------------------------------------------------------------ #
     def _prepare(self, clip_features: np.ndarray, query: str):
@@ -168,6 +198,8 @@ class MomentLocalizer:
                     arr = np.concatenate(
                         [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
                     )
+                if self.mesh is not None:  # one sharded put over the mesh
+                    return jax.device_put(arr, self._batch_sharding)
                 return jnp.asarray(arr)
 
             vals, idxs = self._score(
