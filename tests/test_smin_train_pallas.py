@@ -186,3 +186,41 @@ def test_gradient_parity_split_bb(monkeypatch):
     for a, b in zip(flat_x, flat_k):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_fused_fwd_stack_matches_per_layer(monkeypatch):
+    """The opt-in all-layers forward kernel (VML_SMIN_TRAIN_FUSED_FWD=1)
+    produces the same outputs AND gradients as the default per-layer
+    forward — the residual boundaries it stores from inside the fori_loop
+    must be bit-compatible with the per-layer kernel outputs the backward
+    otherwise consumes."""
+    params = init_smin_params(jax.random.PRNGKey(2), CFG)
+    f, fw, fs, qmask, lmask = _inputs(CFG, seed=3)
+    vmask = packed_valid_mask(lmask)
+    fc, fm, fb = proposal_features_packed(f, lmask, CFG.L, CFG.C)
+    B = fc.shape[0]
+    rng = np.random.default_rng(11)
+    wm = jnp.asarray(rng.standard_normal(fm.shape).astype(np.float32))
+    wb = jnp.asarray(rng.standard_normal(fb.shape).astype(np.float32))
+
+    def scalar(p, fc_, fm_, fb_, fw_, fs_):
+        fm_o, fb_o = smin_smi_stack_train(p, CFG, fc_, fm_, fb_, fw_, fs_,
+                                          qmask, lmask, vmask,
+                                          interpret=True)
+        return (jnp.sum(fm_o * wm * vmask[..., None])
+                + jnp.sum(fb_o * wb * lmask[..., None])) / B
+
+    def run():
+        val, grads = jax.value_and_grad(scalar, argnums=(0, 1, 2, 3, 4, 5))(
+            params, fc, fm, fb, fw, fs)
+        return val, grads
+
+    monkeypatch.delenv("VML_SMIN_TRAIN_FUSED_FWD", raising=False)
+    v_layer, g_layer = run()
+    monkeypatch.setenv("VML_SMIN_TRAIN_FUSED_FWD", "1")
+    v_fused, g_fused = run()
+
+    np.testing.assert_allclose(float(v_fused), float(v_layer), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_layer), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
