@@ -87,20 +87,36 @@ class TestTwoProcessTraining:
     @pytest.fixture(scope="class")
     def runs(self, workdir):
         root, cfg_path = workdir
-        port = _free_port()
         mp_dir = os.path.join(root, "mp")
         sp_dir = os.path.join(root, "sp")
+        cache = os.path.join(root, "jax_cache")
         os.makedirs(mp_dir), os.makedirs(sp_dir)
 
-        procs = [
-            _run_cli(mp_dir, cfg_path,
-                     _env(root, 2, dict(
-                         JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                         JAX_NUM_PROCESSES=2, JAX_PROCESS_ID=pid)),
-                     "--distributed")
-            for pid in (0, 1)
-        ]
-        outs = [p.communicate(timeout=TIMEOUT)[0] for p in procs]
+        def launch_pair():
+            port = _free_port()
+            procs = [
+                _run_cli(mp_dir, cfg_path,
+                         _env(root, 2, dict(
+                             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                             JAX_NUM_PROCESSES=2, JAX_PROCESS_ID=pid,
+                             JAX_COMPILATION_CACHE_DIR=cache)),
+                         "--distributed")
+                for pid in (0, 1)
+            ]
+            outs = [p.communicate(timeout=TIMEOUT)[0] for p in procs]
+            return procs, outs
+
+        # Gloo's key-value rendezvous for the FIRST collective has a hard
+        # 30 s deadline; on this 1-core host two processes compiling the
+        # same programs concurrently can skew past it (flakes when the
+        # whole suite precedes this module). The shared persistent
+        # compilation cache makes the retry near-skew-free: whatever the
+        # first attempt compiled (even if it died mid-epoch) is a cache
+        # hit the second time.
+        procs, outs = launch_pair()
+        if any(p.returncode != 0 for p in procs) and any(
+                "Gloo context initialization failed" in o for o in outs):
+            procs, outs = launch_pair()
         for p, out in zip(procs, outs):
             assert p.returncode == 0, f"proc {procs.index(p)}:\n{out[-3000:]}"
 
