@@ -224,3 +224,50 @@ def test_fused_fwd_stack_matches_per_layer(monkeypatch):
     for a, b in zip(jax.tree.leaves(g_layer), jax.tree.leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_rows_interface_matches_nmajor():
+    """proposal_features_rows + smin_smi_stack_train_rows (the glue-free
+    c-major production path) match the (B, N, C, D) interface on outputs
+    AND input gradients — the fc cotangent round-trips in rows layout."""
+    from video_moment_localization_tpu.ops.proposal import (
+        proposal_features_packed,
+    )
+    from video_moment_localization_tpu.ops.proposal_pallas import (
+        proposal_features_rows,
+    )
+    from video_moment_localization_tpu.ops.smin_train_pallas import (
+        smin_smi_stack_train_rows,
+    )
+
+    params = init_smin_params(jax.random.PRNGKey(4), CFG)
+    f, fw, fs, qmask, lmask = _inputs(CFG, seed=5)
+    f32 = jnp.float32
+    vmask = packed_valid_mask(lmask)
+    B = f.shape[0]
+    N = CFG.L * (CFG.L + 1) // 2
+    rng = np.random.default_rng(13)
+    wm = jnp.asarray(rng.standard_normal((B, N, CFG.D)).astype(np.float32))
+    wb = jnp.asarray(rng.standard_normal((B, CFG.L, CFG.D)).astype(np.float32))
+
+    def s_nmajor(p, f_):
+        fc, fm, fb = proposal_features_packed(f_, lmask, CFG.L, CFG.C)
+        fm_o, fb_o = smin_smi_stack_train(p, CFG, fc, fm, fb, fw, fs,
+                                          qmask, lmask, vmask, interpret=True)
+        return (jnp.sum(fm_o * wm * vmask[..., None])
+                + jnp.sum(fb_o * wb * lmask[..., None])) / B
+
+    def s_rows(p, f_):
+        fcr, fm, fb = proposal_features_rows(f_, lmask, CFG.L, CFG.C, True)
+        fm_o, fb_o = smin_smi_stack_train_rows(p, CFG, fcr, fm, fb, fw, fs,
+                                               qmask, lmask, vmask,
+                                               interpret=True)
+        return (jnp.sum(fm_o * wm * vmask[..., None])
+                + jnp.sum(fb_o * wb * lmask[..., None])) / B
+
+    v_n, g_n = jax.value_and_grad(s_nmajor, argnums=(0, 1))(params, f)
+    v_r, g_r = jax.value_and_grad(s_rows, argnums=(0, 1))(params, f)
+    np.testing.assert_allclose(float(v_r), float(v_n), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)

@@ -524,25 +524,50 @@ def smin_forward(
         )
 
         vmask = packed_valid_mask(length_mask.astype(jnp.float32)).astype(dtype)
+        if cfg.fused_smi_train and not cfg.compat_head:
+            from video_moment_localization_tpu.ops import smin_train_pallas
+            from video_moment_localization_tpu.ops.proposal import _on_tpu
+
+            if (_on_tpu() and cfg.use_pallas
+                    and smin_train_pallas.supports_train(cfg)):
+                # Differentiable fused SMI stack: per-layer Pallas kernels
+                # with in-VMEM jax.vjp backward (ops/smin_train_pallas.py).
+                # The proposal kernel emits fc directly in the stack's
+                # c-major rows layout — no (B, N, C, D) detour (the
+                # transpose/convert glue cost ~17 ms/step at B=1024,
+                # ops/proposal_pallas.proposal_features_rows).
+                from video_moment_localization_tpu.ops.proposal_pallas import (
+                    proposal_features_rows,
+                )
+
+                fc_rows, fm, fb = proposal_features_rows(
+                    f, length_mask, cfg.L, cfg.C)
+                fm, fb = smin_train_pallas.smin_smi_stack_train_rows(
+                    params, cfg, fc_rows, fm, fb, fw, fs, query_mask,
+                    length_mask, vmask)
+                return localization_packed(params["localization"], fm, fb,
+                                           length_mask, vmask, cfg.L,
+                                           dense_out=cfg.compat_head)
         fc, fm, fb = proposal_features_packed_auto(f, length_mask, cfg.L, cfg.C,
                                                    cfg.use_pallas)
         if cfg.fused_smi_train and not cfg.compat_head:
             from video_moment_localization_tpu.ops import smin_train_pallas
             from video_moment_localization_tpu.ops.proposal import _on_tpu
+            from video_moment_localization_tpu.ops import (
+                content_train_pallas,
+            )
 
-            if _on_tpu() and smin_train_pallas.supports_train(cfg):
-                # Differentiable fused SMI stack: per-layer Pallas kernels
-                # with in-VMEM jax.vjp backward (ops/smin_train_pallas.py).
+            if (_on_tpu() and not cfg.use_pallas
+                    and smin_train_pallas.supports_train(cfg)):
+                # use_pallas=False keeps the XLA prefix-sum proposal but
+                # the stack flag is independent: route through the
+                # (B, N, C, D) interface as before.
                 fm, fb = smin_train_pallas.smin_smi_stack_train(
                     params, cfg, fc, fm, fb, fw, fs, query_mask,
                     length_mask, vmask)
                 return localization_packed(params["localization"], fm, fb,
                                            length_mask, vmask, cfg.L,
                                            dense_out=cfg.compat_head)
-            from video_moment_localization_tpu.ops import (
-                content_train_pallas,
-            )
-
             if _on_tpu() and content_train_pallas.supports(cfg):
                 # Maps too large for the whole-layer train kernel
                 # (ActivityNet NC=8320): fuse the content unit per

@@ -229,6 +229,190 @@ def _packed_fwd(f, length_mask, L, C, interpret):
     return out, (f, length_mask)
 
 
+# --------------------------------------------------------------------- #
+# c-major rows variant: the fused-train-stack interface
+# --------------------------------------------------------------------- #
+# The whole-layer train kernels (ops/smin_train_pallas.py) work on c-major
+# packed rows (B, C*N, D), row (b, c*N + n). Feeding them from the n-major
+# (B, N, C, D) interface cost ~17 ms/step at Charades B=1024 of pure glue
+# (jax.profiler timeline): an XLA transpose each way plus an f32
+# round-trip combining dfm/C into the row cotangent. This variant speaks
+# the stack's layout natively: fc rows come out of the kernel c-major with
+# the mask applied in VMEM, fm is its own tiny masked einsum (a pair's
+# mean over C of masked rows == mask * (mean-of-Wc-rows @ f), so it needs
+# no coupling to the fc row blocks), and the backward consumes the row
+# cotangent directly — mask multiply in the kernel, no transposes, no f32
+# materialization of (B, NC, D).
+
+
+@functools.lru_cache(maxsize=None)
+def _wc_packed_cmajor(T: int, L: int, C: int):
+    """(c-major packed averaging operator (NC_pad, T) fp32 — row c*N + n —
+    plus row-block size R). Same padding policy as `_wc_packed`."""
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    p = triu_packing(L)
+    wc = content_matrix(T, L, C)[p.i_idx, p.j_idx]       # (N, C, T)
+    rows = wc.transpose(1, 0, 2).reshape(p.N * C, T)     # c-major
+    NC = p.N * C
+    R = _round_up(NC, 8 * C) if NC <= 1024 else _ROW_BLOCK
+    n_pad = _round_up(NC, R) - NC
+    if n_pad:
+        rows = np.concatenate([rows, np.zeros((n_pad, T), np.float32)], axis=0)
+    return rows, R
+
+
+@functools.lru_cache(maxsize=None)
+def _wm_packed(T: int, L: int, C: int) -> np.ndarray:
+    """(N, T) fp32: row n = mean over C of pair n's clip-averaging rows —
+    fm = vmask * (Wm @ f) reproduces mean-over-C of the masked fc rows."""
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    p = triu_packing(L)
+    wc = content_matrix(T, L, C)[p.i_idx, p.j_idx]       # (N, C, T)
+    return np.ascontiguousarray(wc.mean(axis=1))
+
+
+def _rows_kernel(wc_ref, f_ref, mask_ref, fc_ref, *, precision):
+    """One (row-block, batch) cell: R c-major pair-clip rows, one matmul."""
+    x = f_ref[0].astype(jnp.float32)                     # (T, D)
+    y = jnp.dot(wc_ref[:], x, preferred_element_type=jnp.float32,
+                precision=precision)                     # (R, D)
+    fc_ref[0] = (y * mask_ref[0]).astype(fc_ref.dtype)
+
+
+def _rows_bwd_kernel(wc_ref, g_ref, mask_ref, df_ref):
+    """df[b] += Wc_block^T @ (mask * g_block): mask applied in VMEM so the
+    XLA side never materializes a masked f32 copy of the row cotangent."""
+    nb = pl.program_id(1)
+    g = g_ref[0] * mask_ref[0].astype(g_ref.dtype)
+    y = jax.lax.dot_general(
+        wc_ref[:], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (T, D)
+
+    @pl.when(nb == 0)
+    def _():
+        df_ref[0] = y.astype(df_ref.dtype)
+
+    @pl.when(nb != 0)
+    def _():
+        df_ref[0] = df_ref[0] + y.astype(df_ref.dtype)
+
+
+def _rows_mask_col(length_mask, L: int, C: int, NC_pad: int):
+    from video_moment_localization_tpu.ops.packing import packed_valid_mask
+
+    vmask = packed_valid_mask(length_mask.astype(jnp.float32))     # (B, N)
+    mask_col = jnp.tile(vmask, (1, C))                             # c-major
+    mask_col = jnp.pad(mask_col, ((0, 0), (0, NC_pad - mask_col.shape[1])))
+    return vmask, mask_col[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def proposal_features_rows(f, length_mask, L: int, C: int,
+                           interpret: bool = False):
+    """Packed proposal features in the train stack's native layout:
+    (fc_rows (B, C*N, D) c-major, fm (B, N, D), fb (B, L, D)). Numerics
+    identical to `proposal_features_packed` up to row order of fc."""
+    B, T, D = f.shape
+    wc_rows, R = _wc_packed_cmajor(T, L, C)
+    wc = jnp.asarray(wc_rows)
+    NC_pad = wc.shape[0]
+    num_blocks = NC_pad // R
+    vmask, mask_col = _rows_mask_col(length_mask, L, C, NC_pad)
+
+    precision = (jax.lax.Precision.HIGHEST if f.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_rows_kernel, precision=precision)
+    fc_rows = pl.pallas_call(
+        kernel,
+        grid=(num_blocks, B),  # b fastest: wc block revisited, not re-DMA'd
+        in_specs=[
+            pl.BlockSpec((R, T), lambda nb, b: (nb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda nb, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda nb, b: (b, nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, D), lambda nb, b: (b, nb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NC_pad, D), f.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * NC_pad * T * D,
+            bytes_accessed=(B * T * D * 4 + NC_pad * T * 4
+                            + B * NC_pad * D * f.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wc, f, mask_col)
+
+    N = L * (L + 1) // 2
+    fc_rows = fc_rows[:, : N * C, :]
+    wm = jnp.asarray(_wm_packed(T, L, C), f.dtype)
+    fm = (jnp.einsum("btd,nt->bnd", f, wm,
+                     preferred_element_type=jnp.float32)
+          * vmask[..., None]).astype(f.dtype)
+    fb = jnp.mean(f.reshape(B, L, T // L, D), axis=2)
+    return fc_rows, fm, fb
+
+
+def _rows_fwd(f, length_mask, L, C, interpret):
+    return (proposal_features_rows(f, length_mask, L, C, interpret),
+            (f, length_mask))
+
+
+def _rows_bwd(L, C, interpret, residuals, cotangents):
+    f, length_mask = residuals
+    dfc_rows, dfm, dfb = cotangents
+    B, T, D = f.shape
+    N = L * (L + 1) // 2
+    wc_rows, R = _wc_packed_cmajor(T, L, C)
+    wc = jnp.asarray(wc_rows).astype(f.dtype)
+    NC_pad = wc.shape[0]
+    num_blocks = NC_pad // R
+    vmask, mask_col = _rows_mask_col(length_mask, L, C, NC_pad)
+
+    g = dfc_rows.astype(f.dtype)
+    if NC_pad != N * C:
+        g = jnp.pad(g, ((0, 0), (0, NC_pad - N * C), (0, 0)))
+
+    df = pl.pallas_call(
+        _rows_bwd_kernel,
+        grid=(B, num_blocks),  # nb innermost: accumulate into df[b] in VMEM
+        in_specs=[
+            pl.BlockSpec((R, T), lambda b, nb: (nb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, D), lambda b, nb: (b, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda b, nb: (b, nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b, nb: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * NC_pad * T * D,
+            bytes_accessed=(B * NC_pad * D * f.dtype.itemsize
+                            + NC_pad * T * f.dtype.itemsize + B * T * D * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wc, g, mask_col)
+
+    # fm = vmask * (Wm @ f): transposed einsum, masked on the small side.
+    wm = jnp.asarray(_wm_packed(T, L, C), f.dtype)
+    gm = (dfm.astype(jnp.float32) * vmask[..., None]).astype(f.dtype)
+    df = df + jnp.einsum("bnd,nt->btd", gm, wm,
+                         preferred_element_type=jnp.float32)
+    # fb = non-overlapping window mean of f: spread dfb back over windows.
+    win = T // L
+    df = df + jnp.repeat(dfb.astype(jnp.float32), win, axis=1) / float(win)
+    return df.astype(f.dtype), jnp.zeros_like(length_mask)
+
+
+proposal_features_rows.defvjp(_rows_fwd, _rows_bwd)
+
+
 def _bwd_kernel(wc_ref, g_ref, df_ref):
     """One (batch b, row-block nb) cell of the transposed contraction:
     df[b] += Wc_block^T @ g_block. nb is the inner grid axis, so the (T, D)
