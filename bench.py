@@ -72,7 +72,10 @@ BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 # The fix also cut the train-chain compile from ~330 s to ~40-74 s.
 # B=2048 measured SLOWER (11,375 vs ~12,000 samples/s at B=1024): the
 # kernels' grid already saturates the chip at 1024; bigger batches only
-# add HBM pressure.
+# add HBM pressure. Re-measured after the c-major rows proposal
+# interface (which deleted the transpose glue that might have favored
+# bigger batches): 14,275 at B=2048 vs 14,211 at B=1024 — neutral
+# (+0.5%, noise), B=1024 stands.
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
 B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1024))
 # K = scan iters inside one jit. Each dispatched call through the tunnel
