@@ -62,6 +62,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from video_moment_localization_tpu.ops import limits
 from video_moment_localization_tpu.ops.packing import triu_packing
 
 _NEG_INF = -1e9
@@ -83,7 +84,10 @@ def _row_block(N: int, C: int) -> int:
 
 def supports(L: int, C: int) -> bool:
     """v2 tiles arbitrarily large maps; only require the row-block split to
-    preserve whole C-groups (R % C == 0, true by construction)."""
+    preserve whole C-groups (R % C == 0, true by construction). The limits
+    registry can disable 'content_pallas' after a Mosaic compile failure."""
+    if limits.kernel_disabled("content_pallas"):
+        return False
     return _ROW_BLOCK % C == 0 or triu_packing(L).N * C <= _SINGLE_BLOCK_MAX
 
 

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from video_moment_localization_tpu.ops import limits
+
 _F32 = jnp.float32
 _NEG_INF = -1e9
 
@@ -81,7 +83,11 @@ def _pick_bn(N: int, C: int, D: int, itemsize: int = 2) -> int:
 def supports(cfg) -> bool:
     """True when the row-blocked content train kernel admits the geometry
     (it always does for the flagship maps; the gate exists for tiny test
-    configs whose N has no usable divisor and for lane alignment)."""
+    configs whose N has no usable divisor and for lane alignment). The
+    limits registry can disable 'content_train_pallas' after a Mosaic
+    compile failure (ops/limits.py)."""
+    if limits.kernel_disabled("content_train_pallas"):
+        return False
     N = cfg.L * (cfg.L + 1) // 2
     return cfg.D % 128 == 0 and cfg.dl % 128 == 0 and N >= 8
 
@@ -329,7 +335,7 @@ def _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask):
             jax.ShapeDtypeStruct((B, N, D), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=limits.kernel_vmem_limit(),
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
@@ -388,7 +394,7 @@ def _bwd_vjp(static, res, cots):
             jax.ShapeDtypeStruct((1, D), _F32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=limits.kernel_vmem_limit(),
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(

@@ -1,0 +1,204 @@
+"""Device-derived kernel budgets + Mosaic compile-failure fallback registry.
+
+Round-3 review finding: the fused kernels' admission gates were this-chip
+magic numbers (an 80/90 MB VMEM working-set cap against a hard-coded
+100 MiB ``vmem_limit_bytes``, tuned on a TPU v5e), and a Mosaic compile
+failure on any other TPU generation would crash the job instead of routing
+to the equivalent XLA path. This module centralizes both fixes:
+
+* **Budgets derive from the device.** ``device_vmem_bytes()`` maps the
+  JAX ``device_kind`` to the generation's physical VMEM (override:
+  ``VML_VMEM_BYTES``); ``kernel_vmem_limit()`` subtracts the scheduling
+  headroom that was measured on v5e (128 MiB physical − 28 MiB = the
+  proven 100 MiB Mosaic window), and the serving/train working-set budgets
+  scale linearly from their measured v5e values. On this v5e everything is
+  bit-identical to the old constants; on a 16 MiB-VMEM part (v2/v3) the
+  gates now reject every fused config up front instead of over-admitting.
+* **Compile failures fall back.** ``with_kernel_fallback`` wraps a
+  jit-builder: if a call raises a Mosaic/Pallas *compile-stage* error, the
+  named kernels are disabled in a process-wide registry (consulted by every
+  ``supports()`` gate), the callable is rebuilt — now tracing the XLA
+  path — and the call retried. Compile errors happen strictly before
+  execution, so donated buffers are never consumed by the failed attempt.
+  ``VML_DISABLE_KERNELS=smin_pallas,lstm_pallas`` seeds the registry
+  manually for ops control / probing.
+
+The per-cell ROW caps (8400 serving / 4352 backward) are Mosaic
+scheduling+compile empirics, not VMEM arithmetic; they stay as measured
+constants (override: ``VML_MAX_CELL_ROWS`` / ``VML_MAX_BWD_CELL_ROWS``)
+with the runtime fallback as the safety net on other generations.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Callable, Dict, Sequence
+
+# Physical VMEM per TensorCore by device generation. Matching is by
+# lowercase substring of jax's device_kind (e.g. "TPU v5 lite", "TPU v4",
+# "TPU v6e"). v2/v3 have 16 MiB; v4 onward 128 MiB.
+_MIB = 1024 * 1024
+_VMEM_BY_KIND = (
+    ("v5 lite", 128 * _MIB),  # v5e (this environment's chip)
+    ("v5e", 128 * _MIB),
+    ("v5p", 128 * _MIB),
+    ("v6 lite", 128 * _MIB),  # Trillium
+    ("v6e", 128 * _MIB),
+    ("v4", 128 * _MIB),
+    ("v3", 16 * _MIB),
+    ("v2", 16 * _MIB),
+)
+# Unknown kinds (newer generations, CPU test meshes standing in for the
+# target chip) assume the v4+ 128 MiB class — the post-v3 floor.
+_DEFAULT_VMEM = 128 * _MIB
+
+# Mosaic scheduling headroom measured on v5e: kernels compile and hit
+# their measured throughput with a 100 MiB window on the 128 MiB part;
+# raising past it risks compile-time spills.
+_HEADROOM = 28 * _MIB
+
+# Measured v5e working-set budgets the fractions below reproduce exactly:
+# serving gate 80 MB, train gate 90 MB against the 100 MiB window.
+_SERVING_BUDGET_V5E = 80_000_000
+_TRAIN_BUDGET_V5E = 90_000_000
+_LIMIT_V5E = 100 * _MIB
+
+
+def device_vmem_bytes() -> int:
+    """Physical VMEM of the first addressable device (env-overridable)."""
+    env = os.environ.get("VML_VMEM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - no backend at all
+        return _DEFAULT_VMEM
+    for key, size in _VMEM_BY_KIND:
+        if key in kind:
+            return size
+    return _DEFAULT_VMEM
+
+
+def kernel_vmem_limit() -> int:
+    """``vmem_limit_bytes`` to hand Mosaic: physical minus headroom."""
+    return max(0, device_vmem_bytes() - _HEADROOM)
+
+
+def serving_budget() -> int:
+    """Working-set cap for the serving megakernel's BB admission."""
+    return kernel_vmem_limit() * _SERVING_BUDGET_V5E // _LIMIT_V5E
+
+
+def train_budget() -> int:
+    """Working-set cap for the train kernels' backward-cell admission."""
+    return kernel_vmem_limit() * _TRAIN_BUDGET_V5E // _LIMIT_V5E
+
+
+def max_cell_rows() -> int:
+    """Largest serving-kernel cell row count proven to compile (v5e)."""
+    return int(os.environ.get("VML_MAX_CELL_ROWS", 8400))
+
+
+def max_bwd_cell_rows() -> int:
+    """Largest backward-kernel cell row count proven to compile (v5e)."""
+    return int(os.environ.get("VML_MAX_BWD_CELL_ROWS", 4352))
+
+
+# --------------------------------------------------------------------- #
+# Kernel-disable registry
+# --------------------------------------------------------------------- #
+_disabled: Dict[str, str] = {}
+
+
+def _seed_from_env() -> None:
+    for name in filter(None, os.environ.get("VML_DISABLE_KERNELS", "").split(",")):
+        _disabled.setdefault(name.strip(), "VML_DISABLE_KERNELS")
+
+
+_seed_from_env()
+
+
+def kernel_disabled(name: str) -> bool:
+    """True when `name` (e.g. 'smin_pallas') must not be routed to."""
+    return name in _disabled
+
+
+def disable_kernel(name: str, reason: str) -> None:
+    _disabled[name] = reason
+    warnings.warn(
+        f"video_moment_localization_tpu: fused kernel '{name}' disabled for "
+        f"this process ({reason}); the equivalent XLA path is used instead.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+
+
+def enable_kernel(name: str) -> None:
+    """Re-admit a kernel (tests / manual probing)."""
+    _disabled.pop(name, None)
+
+
+def disabled_kernels() -> Dict[str, str]:
+    return dict(_disabled)
+
+
+# --------------------------------------------------------------------- #
+# Compile-failure classification + fallback wrapper
+# --------------------------------------------------------------------- #
+_COMPILE_ERROR_MARKERS = (
+    "mosaic",            # "Mosaic failed to compile TPU kernel: ..."
+    "pallas",
+    "lowering",          # pallas lowering rules ("no lowering rule for ...")
+    "vmem",              # VMEM exceeded / scratch overflow
+    "resource_exhausted",
+    "xla compilation",
+)
+
+
+def is_compile_error(e: BaseException) -> bool:
+    """Heuristic: does this exception look like a kernel *compile* failure
+    (vs a runtime/data error that must propagate)? Mosaic failures surface
+    as XlaRuntimeError('INTERNAL: Mosaic failed to compile TPU kernel ...')
+    or as pallas lowering exceptions at trace time."""
+    text = f"{type(e).__name__}: {e}".lower()
+    return any(m in text for m in _COMPILE_ERROR_MARKERS)
+
+
+def with_kernel_fallback(
+    build: Callable[[], Callable],
+    kernels: Sequence[str],
+    label: str = "",
+):
+    """Wrap a jit-builder with Mosaic-failure fallback.
+
+    ``build()`` constructs the jitted callable; the routing inside its
+    trace consults ``kernel_disabled`` via the supports() gates. On a
+    compile-stage exception the listed kernels are disabled (coarse: all
+    of them — one rebuild instead of N multi-minute recompiles; use
+    VML_DISABLE_KERNELS to bisect), the callable rebuilt, and the call
+    retried once on the XLA route. Non-compile errors propagate unchanged,
+    as does a compile error when every listed kernel is already disabled
+    (i.e. the XLA path itself failed).
+    """
+    state: Dict[str, Callable] = {}
+
+    def call(*args, **kwargs):
+        fn = state.get("fn")
+        if fn is None:
+            fn = state["fn"] = build()
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 - filtered just below
+            fresh = [k for k in kernels if not kernel_disabled(k)]
+            if not fresh or not is_compile_error(e):
+                raise
+            reason = f"{type(e).__name__}: {str(e)[:300]}"
+            for k in fresh:
+                disable_kernel(k, f"{label or 'compile'} failed — {reason}")
+            fn = state["fn"] = build()
+            return fn(*args, **kwargs)
+
+    return call

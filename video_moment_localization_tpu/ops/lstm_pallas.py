@@ -49,14 +49,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from video_moment_localization_tpu.ops import limits
+
 
 def supports(layers: List[Dict[str, Any]], S: int, B: int) -> bool:
     """Fused-path admission: exactly the SMIN shape family.
 
     2 layers; H a lane multiple (the out block's fwd/bwd halves are
     static lane slices at offset H); layer-2 input = 2H (bidirectional
-    stacking); some BB in the sweep divides B.
+    stacking); some BB in the sweep divides B. The limits registry can
+    disable 'lstm_pallas' after a Mosaic compile failure (ops/limits.py).
     """
+    if limits.kernel_disabled("lstm_pallas"):
+        return False
     if len(layers) != 2:
         return False
     H = layers[0]["fwd"]["w_hh"].shape[1]
@@ -214,7 +219,7 @@ def bilstm_fused(
             pltpu.VMEM((S, BB, 4 * H), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=limits.kernel_vmem_limit(),
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(

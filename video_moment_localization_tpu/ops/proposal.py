@@ -111,7 +111,9 @@ def proposal_features_auto(
     f: jnp.ndarray, moment_mask: jnp.ndarray, L: int, C: int, use_pallas: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dispatch to the fused Pallas kernel on TPU, XLA prefix-sums elsewhere."""
-    if use_pallas and _on_tpu():
+    from video_moment_localization_tpu.ops import limits
+
+    if use_pallas and _on_tpu() and not limits.kernel_disabled("proposal_pallas"):
         from video_moment_localization_tpu.ops.proposal_pallas import (
             proposal_features_pallas,
         )
@@ -124,7 +126,9 @@ def proposal_features_packed_auto(
     f: jnp.ndarray, length_mask: jnp.ndarray, L: int, C: int, use_pallas: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Packed-layout dispatch: fused Pallas kernel on TPU, XLA elsewhere."""
-    if use_pallas and _on_tpu():
+    from video_moment_localization_tpu.ops import limits
+
+    if use_pallas and _on_tpu() and not limits.kernel_disabled("proposal_pallas"):
         from video_moment_localization_tpu.ops.proposal_pallas import (
             proposal_features_packed_pallas,
         )

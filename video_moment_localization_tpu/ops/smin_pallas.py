@@ -66,13 +66,17 @@ from jax.experimental.pallas import tpu as pltpu
 from video_moment_localization_tpu.ops.content_matrix import content_segments
 from video_moment_localization_tpu.ops.packing import triu_packing
 
+from video_moment_localization_tpu.ops import limits
+
 _NEG_INF = -1e9
 # Largest per-cell row count Mosaic has compiled in this environment
 # (ActivityNet BB=1; TACoS BB=4 at 8448 rows is probed separately — see
 # scripts/probe_fused_scales.py). Compile time grows with cell size
 # (ActivityNet BB=1 cold compile ~10 min), the persistent compilation
-# cache amortizes it across processes.
-_MAX_CELL_ROWS = 8400
+# cache amortizes it across processes. Now env-overridable and paired
+# with the runtime compile-failure fallback (ops/limits.py) for other
+# TPU generations.
+_MAX_CELL_ROWS = limits.max_cell_rows
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,7 +146,11 @@ def supports(cfg_or_L, C: int | None = None, D: int | None = None,
     quadratic itemsize scaling), quartering the admitted BB and rejecting
     ActivityNet fp32 outright. When a config is passed, itemsize derives
     from its compute_dtype. Mirrors `_pick_bb`'s bb=1 admission test so
-    supports() == (_pick_bb finds a BB)."""
+    supports() == (_pick_bb finds a BB). Budgets derive from the device's
+    VMEM (ops/limits.py); a Mosaic compile failure at runtime disables
+    'smin_pallas' in the limits registry, which this gate consults."""
+    if limits.kernel_disabled("smin_pallas"):
+        return False
     if C is None:
         import numpy as np
 
@@ -152,7 +160,8 @@ def supports(cfg_or_L, C: int | None = None, D: int | None = None,
         L = cfg_or_L
     N = L * (L + 1) // 2
     per_elem = (N * C * D * 2 + 3 * N * D) * itemsize * itemsize // 2
-    return int(2.5 * per_elem) <= 80_000_000 and N * C <= _MAX_CELL_ROWS
+    return (int(2.5 * per_elem) <= limits.serving_budget()
+            and N * C <= _MAX_CELL_ROWS())
 
 
 def _pick_bb(B: int, L: int, C: int, D: int, itemsize: int = 2) -> int:
@@ -182,12 +191,14 @@ def _pick_bb(B: int, L: int, C: int, D: int, itemsize: int = 2) -> int:
         return bb
     N = L * (L + 1) // 2
     per_elem = (N * C * D * 2 + 3 * N * D) * itemsize * itemsize // 2
+    budget = limits.serving_budget()
+    rows_cap = _MAX_CELL_ROWS()
     for bb in (8, 4, 2, 1):
         # Row cap: largest cell Mosaic has compiled here is ActivityNet
         # BB=1 (8320 rows). The unrolled-body era's 4.4k cap (compile OOM
         # at TACoS BB=4) no longer applies with the fori_loop layer body.
-        if (B % bb == 0 and int(2.5 * bb * per_elem) <= 80_000_000
-                and bb * N * C <= _MAX_CELL_ROWS):
+        if (B % bb == 0 and int(2.5 * bb * per_elem) <= budget
+                and bb * N * C <= rows_cap):
             return bb
     return 1
 
@@ -721,7 +732,7 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
             # The whole working set (3 layers of weights + BB elements of
             # state) is VMEM-resident by design; the 16 MB default scoped
             # limit is far below the v5e's physical 128 MB.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=limits.kernel_vmem_limit(),
             # Grid cells are independent (disjoint per-cell input/output
             # blocks, read-only weights) — declare the batch axis parallel
             # so Mosaic may reorder/overlap cells. Measured neutral on chip

@@ -23,6 +23,7 @@ import optax
 from video_moment_localization_tpu.config import ModelConfig
 from video_moment_localization_tpu.models import smin_forward
 from video_moment_localization_tpu.models.smin import smin_forward_inference
+from video_moment_localization_tpu.ops import limits
 from video_moment_localization_tpu.train.loss import smin_loss
 from video_moment_localization_tpu.train.metrics import (
     recall_counts,
@@ -76,7 +77,17 @@ def make_train_step(
         metrics = _step_metrics(outputs, loss, aux, batch, False, 0.0)
         return params, opt_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    # A Mosaic compile failure (other TPU generation, exotic geometry)
+    # disables the fused train kernels and re-traces onto the XLA path
+    # instead of crashing the job. Compile errors occur strictly before
+    # execution, so the donated (params, opt_state) buffers survive the
+    # failed attempt and the retry is safe.
+    return limits.with_kernel_fallback(
+        lambda: jax.jit(train_step, donate_argnums=(0, 1)),
+        ("smin_train_pallas", "content_train_pallas", "proposal_pallas",
+         "lstm_pallas"),
+        label="train step",
+    )
 
 
 def make_eval_step(
@@ -91,4 +102,8 @@ def make_eval_step(
         loss, aux = smin_loss(outputs, batch)
         return _step_metrics(outputs, loss, aux, batch, use_nms, nms_sigma)
 
-    return jax.jit(eval_step)
+    return limits.with_kernel_fallback(
+        lambda: jax.jit(eval_step),
+        ("smin_pallas", "content_pallas", "proposal_pallas", "lstm_pallas"),
+        label="eval step",
+    )
