@@ -220,6 +220,36 @@ def _measure_serving(cfg, params, arrays, sm, use_nms: bool = False):
     return K_CHAIN * B_SERVE / chain_dt, chain_dt
 
 
+def _measure_percall(cfg, params, arrays, sm, depth: int = 2, M: int = 12):
+    """Per-call WALL throughput with the serving layer's pipelining.
+
+    Each call is one un-chained jitted score_batch dispatch — the pattern
+    MomentLocalizer.dispatch/collect runs in production — with up to
+    ``depth`` batches in flight, so the ~27 ms/call tunnel dispatch hides
+    behind device compute instead of serializing with it (round-3 review:
+    the strictly-blocking per-call loop measured 46.7k pairs/s against
+    68.8k chained — 32% lost to dispatch latency).
+    Returns (pairs/s, wall_dt for M calls).
+    """
+    import numpy as np
+
+    score_batch, _ = _make_score_chain(cfg)
+    args = (params, *arrays, sm)
+    np.asarray(score_batch(*args))  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pend = []
+        for _i in range(M):
+            pend.append(score_batch(*args))     # async dispatch
+            if len(pend) > depth:
+                np.asarray(pend.pop(0))         # collect oldest
+        for p in pend:
+            np.asarray(p)
+        best = min(best, time.perf_counter() - t0)
+    return M * B_SERVE / best, best
+
+
 def _make_train_chain(cfg, params):
     """Build the K_TRAIN-chained train-step program + its args.
 
@@ -348,6 +378,15 @@ def _fused_probe() -> None:
         _progress(f"probe: train stage failed: {e!r}")
 
     try:
+        _progress("probe: compiling + timing pipelined per-call serving")
+        pc_pairs, _ = _measure_percall(cfg, params, arrays, sm)
+        print(json.dumps({"stage": "percall", "percall_pairs": pc_pairs}),
+              flush=True)
+        _progress(f"probe: per-call wall {pc_pairs:.0f} pairs/s")
+    except Exception as e:
+        _progress(f"probe: percall stage failed: {e!r}")
+
+    try:
         _progress("probe: compiling + timing soft-NMS serving chain")
         nms_pairs, _ = _measure_serving(cfg, params, arrays, sm, use_nms=True)
         print(json.dumps({"stage": "nms", "nms_pairs": nms_pairs}), flush=True)
@@ -406,6 +445,8 @@ def main() -> None:
         "train_samples_per_sec_per_chip": None,
         "train_path": None,
         "serving_nms_pairs_per_sec": None,
+        "serving_percall_pairs_per_sec": None,
+        "percall_vs_chained_pct": None,
     }
 
     def apply_probe_line(ln: str) -> None:
@@ -428,6 +469,12 @@ def main() -> None:
                     100 * train_flops * K_TRAIN / d["train_dt"] / PEAK_FLOPS,
                     2),
             })
+        elif d.get("stage") == "percall":
+            _RESULT["serving_percall_pairs_per_sec"] = round(
+                d["percall_pairs"], 2)
+            if _RESULT["value"]:
+                _RESULT["percall_vs_chained_pct"] = round(
+                    100 * d["percall_pairs"] / _RESULT["value"], 1)
         elif d.get("stage") == "nms":
             _RESULT["serving_nms_pairs_per_sec"] = round(d["nms_pairs"], 2)
 
