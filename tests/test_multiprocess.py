@@ -23,6 +23,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 import yaml
@@ -106,17 +107,12 @@ class TestTwoProcessTraining:
             outs = [p.communicate(timeout=TIMEOUT)[0] for p in procs]
             return procs, outs
 
-        # Gloo's key-value rendezvous for the FIRST collective has a hard
-        # 30 s deadline; on this 1-core host two processes compiling the
-        # same programs concurrently can skew past it (flakes when the
-        # whole suite precedes this module). The shared persistent
-        # compilation cache makes the retry near-skew-free: whatever the
-        # first attempt compiled (even if it died mid-epoch) is a cache
-        # hit the second time.
+        # No retry: the Trainer warms the collective cliques right after
+        # distributed init (parallel/mesh.py warmup_collectives), so gloo's
+        # 30 s first-collective rendezvous can no longer sit behind the
+        # skewed heavyweight train-step compiles (the round-3 flake's root
+        # cause). A failure here is a real bug.
         procs, outs = launch_pair()
-        if any(p.returncode != 0 for p in procs) and any(
-                "Gloo context initialization failed" in o for o in outs):
-            procs, outs = launch_pair()
         for p, out in zip(procs, outs):
             assert p.returncode == 0, f"proc {procs.index(p)}:\n{out[-3000:]}"
 
@@ -160,6 +156,140 @@ class TestTwoProcessTraining:
         mp_dir = runs[0]
         env = _env(root, 4, {})
         p = _run_cli(mp_dir, cfg_path, env, "--test")
+        out = p.communicate(timeout=TIMEOUT)[0]
+        assert p.returncode == 0, out[-3000:]
+        assert "R@1, IoU=0.5" in out
+
+
+def _launch_pair(workdir_root, run_dir, cfg_path, cache, *flags,
+                 extra_cfg_env=None):
+    port = _free_port()
+    procs = [
+        _run_cli(run_dir, cfg_path,
+                 _env(workdir_root, 2, dict(
+                     JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                     JAX_NUM_PROCESSES=2, JAX_PROCESS_ID=pid,
+                     JAX_COMPILATION_CACHE_DIR=cache,
+                     **(extra_cfg_env or {}))),
+                 "--distributed", *flags)
+        for pid in (0, 1)
+    ]
+    return procs
+
+
+class TestTwoProcessSeq2D:
+    """2-D (data x seq) mesh under REAL multi-process execution: 2 processes
+    x 2 devices arranged (data=2, seq=2) — each seq row stays inside one
+    process (arrange_2d's ICI constraint), the data axis spans processes.
+    Round-3 review weak item 6: the 2-D path was only tested
+    single-process."""
+
+    @pytest.fixture(scope="class")
+    def seq_runs(self, workdir):
+        root, base_cfg = workdir
+        cfg = yaml.safe_load(open(base_cfg))
+        cfg.update(dict(seq_devices=2))
+        cfg_path = os.path.join(root, "cfg_seq.yml")
+        yaml.safe_dump(cfg, open(cfg_path, "w"))
+        cache = os.path.join(root, "jax_cache_seq")
+        mp_dir = os.path.join(root, "mp_seq")
+        sp_dir = os.path.join(root, "sp_seq")
+        os.makedirs(mp_dir), os.makedirs(sp_dir)
+
+        procs = _launch_pair(root, mp_dir, cfg_path, cache)
+        outs = [p.communicate(timeout=TIMEOUT)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"proc {procs.index(p)}:\n{out[-3000:]}"
+
+        sp = _run_cli(sp_dir, cfg_path,
+                      _env(root, 4, dict(JAX_COMPILATION_CACHE_DIR=cache)))
+        sp_out = sp.communicate(timeout=TIMEOUT)[0]
+        assert sp.returncode == 0, sp_out[-3000:]
+        return mp_dir, sp_dir, outs, sp_out
+
+    def test_seq2d_multiprocess_matches_single_process(self, seq_runs):
+        mp_dir, sp_dir, outs, _ = seq_runs
+        assert "Training Loss" in outs[0]
+        assert "Training Loss" not in outs[1]
+        mp = json.load(open(os.path.join(mp_dir, "checkpoints",
+                                         "cfg_seq_stats.json")))
+        sp = json.load(open(os.path.join(sp_dir, "checkpoints",
+                                         "cfg_seq_stats.json")))
+        assert set(mp) == set(sp)
+        for key in sp:
+            a, b = sp[key], mp[key]
+            if "loss" in key:
+                assert a == pytest.approx(b, abs=1e-5), key
+            else:
+                assert a == b, key
+
+
+class TestKillResume:
+    """Crash recovery under multi-process: SIGKILL both processes
+    mid-training (after the epoch-1 checkpoint lands, during epoch 2),
+    relaunch, and require the resumed run's stats to be BIT-IDENTICAL to an
+    uninterrupted run — same SPMD program, deterministic (seed, epoch) data
+    order, exact orbax param/opt-state round-trip."""
+
+    @pytest.fixture(scope="class")
+    def kill_runs(self, workdir):
+        root, base_cfg = workdir
+        cfg = yaml.safe_load(open(base_cfg))
+        # resume_training=True is a no-op on a fresh directory (fresh start)
+        # and enables the resume on the relaunch; same config both runs.
+        cfg.update(dict(num_epochs=2, resume_training=True))
+        cfg_path = os.path.join(root, "cfg_kr.yml")
+        yaml.safe_dump(cfg, open(cfg_path, "w"))
+        cache = os.path.join(root, "jax_cache")  # shared with the main class
+        base_dir = os.path.join(root, "kr_base")
+        kill_dir = os.path.join(root, "kr_kill")
+        os.makedirs(base_dir), os.makedirs(kill_dir)
+
+        # Uninterrupted 2-epoch baseline.
+        procs = _launch_pair(root, base_dir, cfg_path, cache)
+        outs = [p.communicate(timeout=TIMEOUT)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"baseline:\n{out[-3000:]}"
+
+        # Killed run: SIGKILL both processes once the epoch-1 checkpoint
+        # exists (orbax writes atomically; stats.json lands just before).
+        procs = _launch_pair(root, kill_dir, cfg_path, cache)
+        ckpt = os.path.join(kill_dir, "checkpoints", "cfg_kr_model.ckpt")
+        deadline = time.time() + TIMEOUT
+        while not os.path.exists(ckpt):
+            assert time.time() < deadline, "epoch-1 checkpoint never appeared"
+            if all(p.poll() is not None for p in procs):
+                pytest.fail("training exited before the first checkpoint")
+            time.sleep(0.5)
+        time.sleep(1.0)  # let epoch 2 start: a genuine mid-training kill
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait(timeout=60)
+
+        # Relaunch: resumes from epoch 1, finishes epoch 2.
+        procs = _launch_pair(root, kill_dir, cfg_path, cache)
+        outs2 = [p.communicate(timeout=TIMEOUT)[0] for p in procs]
+        for p, out in zip(procs, outs2):
+            assert p.returncode == 0, f"resume:\n{out[-3000:]}"
+        return base_dir, kill_dir, outs2
+
+    def test_resumed_run_bit_identical(self, kill_runs):
+        base_dir, kill_dir, outs2 = kill_runs
+        # The resumed process trains epoch 2 only.
+        assert "Training Epoch - 2" in outs2[0]
+        assert "Training Epoch - 1" not in outs2[0]
+        base = json.load(open(os.path.join(base_dir, "checkpoints",
+                                           "cfg_kr_stats.json")))
+        resumed = json.load(open(os.path.join(kill_dir, "checkpoints",
+                                              "cfg_kr_stats.json")))
+        assert base == resumed  # bit-identical stats, losses included
+
+    def test_resumed_checkpoint_serves(self, kill_runs, workdir):
+        root, _ = workdir
+        _, kill_dir, _ = kill_runs
+        cfg_path = os.path.join(root, "cfg_kr.yml")
+        p = _run_cli(kill_dir, cfg_path, _env(root, 4, {}), "--test")
         out = p.communicate(timeout=TIMEOUT)[0]
         assert p.returncode == 0, out[-3000:]
         assert "R@1, IoU=0.5" in out

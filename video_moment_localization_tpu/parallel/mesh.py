@@ -95,6 +95,15 @@ def initialize_distributed(
             raise
         return False  # nothing auto-detected: ordinary single-process run
     _distributed_initialized = True
+    if jax.process_count() > 1:
+        # First cross-process collective NOW, while the processes are
+        # perfectly synchronized by the init barrier: gloo's first
+        # connectFullMesh rendezvous has a hard ~30 s window, and anything
+        # later (imports, dataset loads, compiles) can skew processes past
+        # it on contended hosts. This all-device psum also acts as a
+        # barrier, re-synchronizing the processes for the per-axis clique
+        # warmups in Trainer.__init__ (see warmup_collectives).
+        warmup_collectives(Mesh(np.asarray(jax.devices()), ("all",)))
     return jax.process_count() > 1
 
 
@@ -140,6 +149,46 @@ def arrange_2d(devices: Sequence[Any], seq: int) -> np.ndarray:
                         == getattr(devices[0], "process_index", 0)))
             )
     return grid
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish every cross-process communicator clique NOW, while the
+    processes are still time-synchronized from jax.distributed.initialize.
+
+    Root cause of the round-3 multiprocess flake: gloo (XLA:CPU's
+    cross-process collective backend) gives the FIRST collective's
+    connectFullMesh rendezvous a hard ~30 s window. When the first
+    collective only runs inside the train step, each process must first
+    finish the heavyweight step compile — and compile-time skew between
+    processes (cold caches, contended hosts) blows the window ('Gloo
+    context initialization failed'). A one-element-per-device psum
+    compiles in milliseconds on every process, so running it here bounds
+    the rendezvous skew by the init barrier itself; all later collectives
+    reuse the established contexts. Cliques warmed: the full mesh (the
+    gradient/metric all-reduce) and, on multi-axis meshes, each axis's
+    subsets (batch-axis reduces; seq-axis collectives are intra-host by
+    arrange_2d and need no gloo, but warming them is ~free).
+
+    TPU backends (ICI/DCN) have no such rendezvous; single-process runs
+    return immediately.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax import shard_map
+    import jax.numpy as jnp  # noqa: F401  (traced psum below)
+
+    names = tuple(mesh.axis_names)
+    shape = tuple(mesh.shape[a] for a in names)
+    sharding = NamedSharding(mesh, P(*names))
+    arr = jax.make_array_from_callback(
+        shape, sharding, lambda idx: np.ones([1] * len(shape), np.float32))
+    reduce_sets = [names] if len(names) == 1 else [names, *[(a,) for a in names]]
+    for axes in reduce_sets:
+        out_spec = P(*[None if n in axes else n for n in names])
+        out = jax.jit(shard_map(
+            lambda x, axes=axes: jax.lax.psum(x, axes), mesh=mesh,
+            in_specs=P(*names), out_specs=out_spec))(arr)
+        jax.block_until_ready(out)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -96,6 +96,15 @@ class Trainer:
                     f"batch_size ({cfg.batch_size}) must be divisible by the "
                     f"number of devices ({self.mesh.size})"
                 )
+        # Multi-process: create the gloo/ICI communicator cliques while the
+        # processes are still synchronized from distributed init — the
+        # first collective's rendezvous must not wait behind the train-step
+        # compile (parallel/mesh.py warmup_collectives; round-3 flake).
+        from video_moment_localization_tpu.parallel.mesh import (
+            warmup_collectives,
+        )
+
+        warmup_collectives(self.mesh)
         self.embedding = embedding
         self._maybe_enable_remat()
         self.optimizer = build_optimizer(cfg)
