@@ -39,25 +39,45 @@ CONFIG_TEMPLATE = """\
 # Shared parity-run config (reference-compatible 20-key schema).
 dataset:            "charadessta"
 data_dir:           "{data_dir}"
-T:                  64
-L:                  16
+T:                  {T}
+L:                  {L}
 C:                  4
 model:              "SMIN"
 d:                  512
 dl:                 128
-input_video_dim:    1024
-max_query_length:   13
+input_video_dim:    {input_video_dim}
+max_query_length:   {max_query_length}
 lstm_hidden_size:   256
 num_smi_layers:     {num_smi_layers}
 optimizer:          "Adam"
 lr:                 0.0005
 num_epochs:         {num_epochs}
-batch_size:         64
+batch_size:         {batch_size}
 num_workers:        {num_workers}
 seed:               {seed}
 checkpoint_path:    "{checkpoint_path}"
 resume_training:    {resume}
 """
+
+# Model-geometry presets. 'charades' is the flagship Charades-STA shape
+# (/root/reference/config/charadessta.yml). 'anet' is the ActivityNet
+# model geometry (/root/reference/config/activitynet.yml:5-13 — T=128,
+# L=64, C3D dim 500, query length 20): at L=64 the proposal map has
+# N=2080 cells (NC=8320 rows), which routes OUR train step through the
+# fused content-train kernel (ops/content_train_pallas.py — the
+# whole-layer kernel is row-capped out, exactly as in production), so a
+# trained-accuracy trajectory at this preset validates that path. The
+# fixture stays charades-LAYOUT (the readers' format parity is pinned
+# separately by the committed golden shard, tests/test_golden_realformat.py);
+# dims are what the kernels see. batch_size 16 keeps the reference's
+# torch-CPU activation memory (~1 GB/tensor at B=64) tractable on the
+# 1-core parity host — both sides use the identical config.
+PRESETS = {
+    "charades": dict(T=64, L=16, input_video_dim=1024, max_query_length=13,
+                     batch_size=64),
+    "anet": dict(T=128, L=64, input_video_dim=500, max_query_length=20,
+                 batch_size=16),
+}
 
 
 def _force_cpu_jax():
@@ -72,10 +92,11 @@ def _force_cpu_jax():
 def cmd_gen(args):
     from video_moment_localization_tpu.data.synthetic import write_charades_style_dir
 
+    preset = PRESETS[args.preset]
     write_charades_style_dir(
         args.root,
         queries_per_video=args.queries,
-        input_video_dim=1024,
+        input_video_dim=preset["input_video_dim"],
         seed=args.seed,
         signal_strength=args.signal,
         videos_per_split={"train": args.train_videos, "test": args.test_videos},
@@ -91,6 +112,7 @@ def cmd_gen(args):
                 num_smi_layers=args.smi_layers,
                 checkpoint_path=os.path.join(args.root, "ckpt_ours"),
                 resume="False",
+                **preset,
             )
         )
     print(f"fixture: {args.train_videos}x{args.queries} train / "
@@ -255,6 +277,22 @@ def cmd_ours(args):
     os.makedirs(cfg.checkpoint_path, exist_ok=True)
 
     trainer = Trainer(cfg)
+    if args.init:
+        # Load the SAME reference-format initial weights every run loads
+        # (both sides, all seeds): the seed then drives only shuffle order
+        # and sampling jitter, so the per-side seed spreads are symmetric
+        # measures of training stochasticity (VERDICT r3 item 3).
+        import torch
+
+        from video_moment_localization_tpu.models.port import (
+            params_from_torch_state_dict,
+        )
+        from video_moment_localization_tpu.parallel.mesh import put_replicated
+
+        sd = torch.load(args.init, weights_only=False)["model"]
+        trainer.params = put_replicated(
+            params_from_torch_state_dict(sd, cfg.model), trainer.mesh)
+        print(f"loaded shared initial weights from {args.init}")
     train_ds, eval_ds = build_datasets(cfg)
     print(f"our datasets: {len(train_ds)} train / {len(eval_ds)} eval")
     eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False,
@@ -299,40 +337,25 @@ def _load_stats(ckpt_dir: str, experiment: str):
     return stats, init, wall
 
 
-def cmd_report(args):
-    ref, ref_init, ref_wall = _load_stats(args.ref_dir, args.experiment)
-    ours, our_init, our_wall = _load_stats(args.ours_dir, args.experiment)
-    # Extra reference seeds (VERDICT r2 item 7): the seed-to-seed spread of
-    # the reference itself is the yardstick the ours-vs-ref gap is judged
-    # against on the synthetic fixture.
-    extra_refs = []
-    for d in (args.ref_dir2, args.ref_dir3):
-        if d:
-            extra_refs.append(_load_stats(d, args.experiment)[0])
-    ref2 = extra_refs[0] if extra_refs else None
+def _section(w, args, ref_dirs, ours_dirs, title):
+    """One preset's parity tables: N ref seeds x M ours seeds, symmetric
+    per-seed columns + per-side spreads (VERDICT r3 item 3: the round-3
+    report compared a single ours draw against a 3-sample ref spread)."""
+    refs, ourss = [], []
+    ref_init = our_init = ref_wall = our_wall = None
+    for d in ref_dirs:
+        s, init, wall = _load_stats(d, args.experiment)
+        refs.append(s)
+        ref_init, ref_wall = ref_init or init, ref_wall or wall
+    for d in ours_dirs:
+        s, init, wall = _load_stats(d, args.experiment)
+        ourss.append(s)
+        our_init, our_wall = our_init or init, our_wall or wall
 
-    lines = []
-    w = lines.append
-    w("# PARITY_RUN — dual-train accuracy parity vs the PyTorch reference")
-    w("")
-    w("Protocol (BASELINE.md 'operational baseline' / VERDICT r1 item 1): the")
-    w("reference (`/root/reference/main.py`, with the documented one-line")
-    w("`reduction='none'` fix — PARITY.md #1) and this framework trained on the")
-    w("**same on-disk fixture** from the **same initial weights** (exported via")
-    w("`models/port.py::torch_state_dict_from_params`, loaded `strict=True`).")
-    w(f"Fixture: `{args.fixture}` — learnable Charades-style synthetic data")
-    w("(query-conditioned span signal, `data/synthetic.py`), real Charades")
-    w("dims (T=64, L=16, D=1024, d=512). Generated by `scripts/parity_run.py gen`;")
-    w("reference run uses `scripts/torchtext_shim.py` to feed the reference the")
-    w("identical GloVe table without torchtext/downloads.")
-    w("")
-    w("Sources of run-to-run noise that remain (by design, matching the")
-    w("reference's own training variance): torch vs JAX batch shuffle order and")
-    w("train-time sampling jitter (PARITY.md #13). Eval has neither, so the")
-    w("epoch-0 eval check below is tight.")
+    w(f"## {title}")
     w("")
 
-    w("## Epoch-0 eval from shared weights (tight end-to-end check)")
+    w("### Epoch-0 eval from shared weights (tight end-to-end check)")
     w("")
     w("Same initial weights, deterministic eval path (no jitter, no shuffle):")
     w("this compares the full stack — file reading, sampling, label generation,")
@@ -341,69 +364,54 @@ def cmd_report(args):
     w("| quantity | reference (torch) | ours (JAX) | abs diff |")
     w("|---|---|---|---|")
     if ref_init and our_init:
-        keys = ["eval_loss"] + METRICS
-        for k in keys:
+        for k in ["eval_loss"] + METRICS:
             r, o = ref_init.get(k), our_init.get(k)
             if r is None or o is None:
                 continue
             w(f"| {k} | {r:.6f} | {o:.6f} | {abs(r - o):.2e} |")
     w("")
 
-    w(f"## Training trajectories ({len(ref['epoch'])} epochs, "
+    ref0 = refs[0]
+    w(f"### Training trajectories ({len(ref0['epoch'])} epochs, "
       f"{args.train_samples} train / {args.test_samples} eval samples)")
     w("")
-    n_ref = 1 + len(extra_refs)
-    seed_hdr = "".join(f" ref s{j + 2} |" for j in range(len(extra_refs)))
-    hdr = (f"| epoch | train_loss ref |{seed_hdr} ours "
-           f"| eval_loss ref |{seed_hdr} ours |")
-    w(hdr)
-    w("|---" * (3 + 2 * n_ref) + "|")
-    for i, ep in enumerate(ref["epoch"]):
-        tl = "".join(f" {r2['train_loss'][i]:.4f} |" for r2 in extra_refs)
-        el = "".join(f" {r2['eval_loss'][i]:.4f} |" for r2 in extra_refs)
-        w(f"| {ep} | {ref['train_loss'][i]:.4f} |{tl} "
-          f"{ours['train_loss'][i]:.4f} | {ref['eval_loss'][i]:.4f} |{el} "
-          f"{ours['eval_loss'][i]:.4f} |")
+    rhdr = "".join(f" ref s{j + 1} |" for j in range(len(refs)))
+    ohdr = "".join(f" ours s{j + 1} |" for j in range(len(ourss)))
+    w(f"| epoch | train_loss:{rhdr}{ohdr} eval_loss:{rhdr}{ohdr}")
+    w("|---" * (1 + 2 * (len(refs) + len(ourss))) + "|")
+    for i, ep in enumerate(ref0["epoch"]):
+        tl = "".join(f" {s['train_loss'][i]:.4f} |" for s in refs + ourss)
+        el = "".join(f" {s['eval_loss'][i]:.4f} |" for s in refs + ourss)
+        w(f"| {ep} |{tl}{el}")
     w("")
 
-    w("## Final-epoch eval metrics")
+    w("### Final-epoch eval metrics")
     w("")
-    cols = "| metric | reference | ours | diff |"
-    if extra_refs:
-        cols = (f"| metric | reference |{seed_hdr} ours | ours-ref "
-                f"| ref seed spread |")
-    w(cols)
-    w("|---" * (4 + (2 * len(extra_refs) if extra_refs else 0)) + "|")
-    worst = 0.0
-    worst_spread = 0.0
+    w(f"| metric |{rhdr}{ohdr} ours-ref (means) | ref spread | ours spread |")
+    w("|---" * (4 + len(refs) + len(ourss)) + "|")
+    worst_gap = worst_ref_spread = worst_our_spread = 0.0
     for k in METRICS:
-        r = ref[f"eval_{k}"][-1]
-        o = ours[f"eval_{k}"][-1]
-        worst = max(worst, abs(r - o))
-        if extra_refs:
-            rs = [r] + [r2[f"eval_{k}"][-1] for r2 in extra_refs]
-            spread = max(rs) - min(rs)
-            worst_spread = max(worst_spread, spread)
-            seed_cells = "".join(f" {v:.4f} |" for v in rs[1:])
-            w(f"| {k} | {r:.4f} |{seed_cells} {o:.4f} | {o - r:+.4f} "
-              f"| {spread:.4f} |")
-        else:
-            w(f"| {k} | {r:.4f} | {o:.4f} | {o - r:+.4f} |")
+        rs = [s[f"eval_{k}"][-1] for s in refs]
+        os_ = [s[f"eval_{k}"][-1] for s in ourss]
+        gap = sum(os_) / len(os_) - sum(rs) / len(rs)
+        ref_spread = max(rs) - min(rs)
+        our_spread = max(os_) - min(os_)
+        worst_gap = max(worst_gap, abs(gap))
+        worst_ref_spread = max(worst_ref_spread, ref_spread)
+        worst_our_spread = max(worst_our_spread, our_spread)
+        cells = "".join(f" {v:.4f} |" for v in rs + os_)
+        w(f"| {k} |{cells} {gap:+.4f} | {ref_spread:.4f} | {our_spread:.4f} |")
     w("")
-    w(f"Largest final-metric gap vs reference: **{worst:.4f}** "
-      f"(recall fractions in [0,1]; the ±0.3 north-star tolerance in")
-    w("BASELINE.json is in percentage points, i.e. 0.003 here, for the real-")
-    w("data run; the synthetic fixture's bar is the reference's own seed-to-")
-    w("seed spread).")
-    if extra_refs:
-        w("")
-        w(f"Reference seed-to-seed spread (max-min over {n_ref} seeds, worst "
-          f"metric): **{worst_spread:.4f}** — the ours-vs-ref gap is judged "
-          "against this run-to-run variance of the reference itself.")
+    w(f"Largest |mean(ours) - mean(ref)| gap: **{worst_gap:.4f}**; worst "
+      f"ref seed spread **{worst_ref_spread:.4f}**; worst ours seed spread "
+      f"**{worst_our_spread:.4f}** (recall fractions in [0,1]). The")
+    w("synthetic-fixture bar is the sides' own seed-to-seed variance; the")
+    w("±0.3 percentage-point north-star tolerance in BASELINE.json applies to")
+    w("the real-data run (blocked: zero egress).")
     w("")
 
     if ref_wall and our_wall:
-        w("## Wall-clock (same fixture, same epochs)")
+        w("### Wall-clock (same fixture, same epochs, seed 1)")
         w("")
         w("| side | hardware | total s | samples/s |")
         w("|---|---|---|---|")
@@ -414,6 +422,52 @@ def cmd_report(args):
         w(f"\nEnd-to-end speedup: **{ref_wall['wall_s'] / our_wall['wall_s']:.0f}x** "
           "(tunnel-RTT-bound on our side; see BENCH notes).")
         w("")
+
+
+def cmd_report(args):
+    lines = []
+    w = lines.append
+    w("# PARITY_RUN — dual-train accuracy parity vs the PyTorch reference")
+    w("")
+    w("Protocol (BASELINE.md 'operational baseline' / VERDICT r1 item 1): the")
+    w("reference (`/root/reference/main.py`, with the documented one-line")
+    w("`reduction='none'` fix — PARITY.md #1) and this framework trained on the")
+    w("**same on-disk fixture** from the **same initial weights** (exported via")
+    w("`models/port.py::torch_state_dict_from_params`, loaded `strict=True`),")
+    w("at 3 seeds EACH side (seeds 43/44/45; the fixture is fixed, the seed")
+    w("drives init + shuffle + jitter). Fixtures: learnable Charades-style")
+    w("synthetic data (query-conditioned span signal, `data/synthetic.py`),")
+    w("generated by `scripts/parity_run.py gen`; the reference runs use")
+    w("`scripts/torchtext_shim.py` to feed the reference the identical GloVe")
+    w("table without torchtext/downloads.")
+    w("")
+    w("Two model geometries (see PRESETS in scripts/parity_run.py):")
+    w("* **Charades dims** (T=64, L=16, dv=1024): ours trains through the")
+    w("  fused whole-layer SMI train kernel (`ops/smin_train_pallas.py`).")
+    w("* **ActivityNet dims** (T=128, L=64, dv=500, mql=20, batch 16 — ")
+    w("  `/root/reference/config/activitynet.yml:5-13`): NC=8320 rows gate the")
+    w("  whole-layer kernel out, so ours trains through the fused content-unit")
+    w("  kernel (`ops/content_train_pallas.py`) — the production ActivityNet")
+    w("  route. Fixture stays Charades-LAYOUT (reader-format parity is pinned")
+    w("  separately by tests/test_golden_realformat.py).")
+    w("")
+    w("Sources of run-to-run noise that remain (by design, matching the")
+    w("reference's own training variance): torch vs JAX batch shuffle order and")
+    w("train-time sampling jitter (PARITY.md #13). Eval has neither, so the")
+    w("epoch-0 eval check below is tight.")
+    w("")
+
+    _section(w, args, args.ref_dirs, args.ours_dirs,
+             "Charades dims (T=64, L=16, dv=1024)")
+    if args.anet_ref_dirs and args.anet_ours_dirs:
+        args_anet_train = args.anet_train_samples or args.train_samples
+        args_anet_test = args.anet_test_samples or args.test_samples
+        saved = args.train_samples, args.test_samples
+        args.train_samples, args.test_samples = args_anet_train, args_anet_test
+        _section(w, args, args.anet_ref_dirs, args.anet_ours_dirs,
+                 "ActivityNet dims (T=128, L=64, dv=500) — "
+                 "fused content-train path")
+        args.train_samples, args.test_samples = saved
 
     out = os.path.join(REPO, "PARITY_RUN.md")
     with open(out, "w") as f:
@@ -428,6 +482,7 @@ def main():
 
     g = sub.add_parser("gen")
     g.add_argument("--root", required=True)
+    g.add_argument("--preset", choices=sorted(PRESETS), default="charades")
     g.add_argument("--train-videos", type=int, default=250)
     g.add_argument("--test-videos", type=int, default=50)
     g.add_argument("--queries", type=int, default=8)
@@ -457,18 +512,21 @@ def main():
     o.add_argument("--out-dir", default=None)
     o.add_argument("--epochs", type=int, default=None)
     o.add_argument("--seed", type=int, default=None)
+    o.add_argument("--init", default=None)
     o.add_argument("--cpu", action="store_true")
     o.set_defaults(fn=cmd_ours)
 
     rep = sub.add_parser("report")
-    rep.add_argument("--ref-dir", required=True)
-    rep.add_argument("--ours-dir", required=True)
-    rep.add_argument("--ref-dir2", default=None)
-    rep.add_argument("--ref-dir3", default=None)
+    rep.add_argument("--ref-dirs", nargs="+", required=True)
+    rep.add_argument("--ours-dirs", nargs="+", required=True)
+    rep.add_argument("--anet-ref-dirs", nargs="*", default=[])
+    rep.add_argument("--anet-ours-dirs", nargs="*", default=[])
     rep.add_argument("--experiment", default="parity")
     rep.add_argument("--fixture", default="")
     rep.add_argument("--train-samples", type=int, default=0)
     rep.add_argument("--test-samples", type=int, default=0)
+    rep.add_argument("--anet-train-samples", type=int, default=0)
+    rep.add_argument("--anet-test-samples", type=int, default=0)
     rep.add_argument("--torch-version", default="2.13-cpu")
     rep.set_defaults(fn=cmd_report)
 
