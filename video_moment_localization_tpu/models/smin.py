@@ -146,10 +146,14 @@ def query_encoder(p: Params, query_features: jnp.ndarray, query_mask: jnp.ndarra
     else:
         fw = bilstm(query_features, mask, p)                    # (B, Nq, 2H)
     lengths = jnp.maximum(mask.sum(axis=1).astype(jnp.int32), 1)
-    idx = (lengths - 1)[:, None, None]                          # (B, 1, 1)
-    f_fwd = jnp.take_along_axis(
-        fw[..., :hidden_size], jnp.broadcast_to(idx, (fw.shape[0], 1, hidden_size)), axis=1
-    )[:, 0, :]
+    # Last valid forward state via a one-hot contraction rather than
+    # take_along_axis: the gather lowers to a serial TPU gather fusion
+    # (measured 3.2 ms/step of the B=1024 train step, scripts/
+    # profile_train.py) while the one-hot einsum is a dense VPU/MXU op
+    # whose transpose is another einsum (no scatter in the backward).
+    # Bit-identical to the gather: the one-hot rows are exact {0,1}.
+    onehot = jax.nn.one_hot(lengths - 1, fw.shape[1], dtype=fw.dtype)
+    f_fwd = jnp.einsum("bn,bnh->bh", onehot, fw[..., :hidden_size])
     f_bwd = fw[:, 0, hidden_size:]
     fs = jnp.concatenate([f_fwd, f_bwd], axis=-1)               # (B, 2H)
     return fs, fw
