@@ -34,6 +34,8 @@ import functools
 import os
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -78,6 +80,31 @@ def _pick_bn(N: int, C: int, D: int, itemsize: int = 2) -> int:
         if N % bn == 0 and C * bn <= _MAX_BWD_ROWS:
             return bn
     return 1
+
+
+@functools.lru_cache(maxsize=None)
+def _msel_pairs(L: int) -> np.ndarray:
+    """(N, L) pair-validity selector: row n holds 1 at columns i_n and j_n
+    (a single 2 where i == j), so max(msel @ lmask_col - 1, 0) equals
+    lmask[i]*lmask[j] exactly for {0,1} masks — i.e.
+    `packing.packed_valid_mask`. Lets the kernels derive the per-pair
+    mask IN VMEM from the tiny (L, 1) length column instead of a
+    (B, N, 1) operand whose trailing unit lane axis HBM-tiles to 128
+    lanes (128x DMA inflation: ~136 MB/call at ActivityNet B=128 f32).
+
+    Measured trade (ActivityNet B=128 bf16, v5e): +15% train throughput
+    (206.2 -> 174.3 ms/step, 621 -> 734 samples/s) for a one-time cold
+    Mosaic compile of ~10 min vs ~1.5 min with the operand — worth it
+    for production training runs (the remote compile cache amortizes
+    re-runs); the SERVING kernel rejects the same trade (see
+    ops/smin_pallas._msel_bb)."""
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    p = triu_packing(L)
+    sel = np.zeros((p.N, L), np.float32)
+    sel[np.arange(p.N), p.i_idx] += 1.0
+    sel[np.arange(p.N), p.j_idx] += 1.0
+    return sel
 
 
 def supports(cfg) -> bool:
@@ -192,15 +219,26 @@ def _content_rows(fc, fbar, fw, fs, cw, cb, mw, mb, qvalid, mask, pmask,
     return cu, convfc.astype(w)
 
 
-def _fwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
-                cw_ref, cb_ref, mw_ref, mb_ref, cu_ref, cfc_ref,
-                *, BN: int, C: int, Nq: int, D: int, dl: int):
+def _pair_mask(msel_ref, lrow_ref, BN: int, L: int):
+    """Derive the (BN, 1) pair-validity mask IN VMEM from the (L, 1)
+    length column: lmask[i]*lmask[j] == max(lmask[i]+lmask[j]-1, 0) for
+    {0,1} masks, i/j selection by the `_msel_pairs` block (see its
+    docstring for the DMA-inflation rationale)."""
+    lrow = lrow_ref[:].reshape(L, 1).astype(_F32)
+    return jnp.maximum(
+        jax.lax.dot(msel_ref[:].astype(_F32), lrow,
+                    preferred_element_type=_F32) - 1.0, 0.0)
+
+
+def _fwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, msel_ref,
+                lrow_ref, cw_ref, cb_ref, mw_ref, mb_ref, cu_ref, cfc_ref,
+                *, BN: int, C: int, Nq: int, D: int, dl: int, L: int):
     w = fc_ref.dtype
     prec = jax.lax.Precision.HIGHEST if w == _F32 else None
     rows = C * BN
     qvalid = jnp.broadcast_to(
         qflat_ref[:].reshape(1, Nq).astype(_F32), (rows, Nq))
-    pmask = vm_ref[:].reshape(BN, 1).astype(_F32)
+    pmask = _pair_mask(msel_ref, lrow_ref, BN, L)
     mask = jnp.broadcast_to(pmask[None], (C, BN, 1)).reshape(rows, 1)
     cu, convfc = _content_rows(
         fc_ref[:].reshape(rows, D), fbar_ref[:].reshape(BN, D),
@@ -211,11 +249,11 @@ def _fwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
     cfc_ref[:] = convfc.reshape(1, BN, D)
 
 
-def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
-                cw_ref, cb_ref, mw_ref, mb_ref, dcu_ref, dcfc_ref,
+def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, msel_ref,
+                lrow_ref, cw_ref, cb_ref, mw_ref, mb_ref, dcu_ref, dcfc_ref,
                 dfc_ref, dfbar_ref, dfw_ref, dfs_ref, dcw_ref, dcb_ref,
                 dmw_ref, dmb_ref,
-                *, BN: int, C: int, Nq: int, D: int, dl: int):
+                *, BN: int, C: int, Nq: int, D: int, dl: int, L: int):
     """Re-run the block forward in VMEM and pull gradients through
     jax.vjp. dfw/dfs accumulate over the pair-block grid axis (output
     block revisited per batch element); dcw/dcb/dmw/dmb accumulate over
@@ -225,7 +263,7 @@ def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
     rows = C * BN
     qvalid = jnp.broadcast_to(
         qflat_ref[:].reshape(1, Nq).astype(_F32), (rows, Nq))
-    pmask = vm_ref[:].reshape(BN, 1).astype(_F32)
+    pmask = _pair_mask(msel_ref, lrow_ref, BN, L)
     mask = jnp.broadcast_to(pmask[None], (C, BN, 1)).reshape(rows, 1)
 
     def fn(fc, fbar, fw, fs, cw, cb, mw, mb):
@@ -273,11 +311,12 @@ def _bwd_kernel(fc_ref, fbar_ref, fw_ref, fs_ref, qflat_ref, vm_ref,
         dmb_ref[:] = dmb_ref[:] + dmb.astype(_F32)
 
 
-def _specs(B, BN, C, N, Nq, D, dl):
+def _specs(B, BN, C, N, Nq, D, dl, L):
     W = max(dl, D)
     per_bn = lambda b, n: (b, 0, n, 0)    # noqa: E731
     per_bn3 = lambda b, n: (b, n, 0)      # noqa: E731
     per_b3 = lambda b, n: (b, 0, 0)       # noqa: E731
+    per_n2 = lambda b, n: (n, 0)          # noqa: E731
     const2 = lambda b, n: (0, 0)          # noqa: E731
     ins = [
         pl.BlockSpec((1, C, BN, D), per_bn, memory_space=pltpu.VMEM),  # fc
@@ -285,7 +324,8 @@ def _specs(B, BN, C, N, Nq, D, dl):
         pl.BlockSpec((1, Nq, D), per_b3, memory_space=pltpu.VMEM),     # fw
         pl.BlockSpec((1, 1, D), per_b3, memory_space=pltpu.VMEM),      # fs
         pl.BlockSpec((1, 1, Nq), per_b3, memory_space=pltpu.VMEM),     # qflat
-        pl.BlockSpec((1, BN, 1), per_bn3, memory_space=pltpu.VMEM),    # vmask
+        pl.BlockSpec((BN, L), per_n2, memory_space=pltpu.VMEM),        # msel
+        pl.BlockSpec((1, L, 1), per_b3, memory_space=pltpu.VMEM),      # lrow
         pl.BlockSpec((3 * D + 3 * dl, W), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((6, W), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),         # mw
@@ -303,25 +343,30 @@ def _flops(N, C, Nq, D, dl):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def content_rows_train(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat,
-                       vmask):
+                       lrow):
     """Fused row-blocked ContentUnit + moment conv_fc (fwd) on c-major fc.
 
-    static = (BN, C, N, Nq, D, dl, interpret); mw (D, D) / mb (1, D) the
-    moment unit's conv_fc weights (folded — see _content_rows); fc_cm
+    static = (BN, C, N, Nq, D, dl, L, interpret); mw (D, D) / mb (1, D)
+    the moment unit's conv_fc weights (folded — see _content_rows); fc_cm
     (B, C, N, D); fbar (B, N, D); fw (B, Nq, D); fs (B, 1, D); qflat
-    (B, 1, Nq) fp32; vmask (B, N, 1) fp32. Returns (cu_cm (B, C, N, D),
-    convfc (B, N, D) — the masked conv_fc term of the moment update).
+    (B, 1, Nq) fp32; lrow (B, L, 1) fp32 length-mask column (pair
+    validity is re-derived in VMEM — see `_msel_pairs`). Returns
+    (cu_cm (B, C, N, D), convfc (B, N, D) — the masked conv_fc term of
+    the moment update).
     """
     return _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat,
-                     vmask)
+                     lrow)
 
 
-def _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask):
-    BN, C, N, Nq, D, dl, interpret = static
+def _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, lrow):
+    BN, C, N, Nq, D, dl, L, interpret = static
     B = fc_cm.shape[0]
     dtype = fc_cm.dtype
-    ins, per_bn, per_bn3, per_b3, const2, W = _specs(B, BN, C, N, Nq, D, dl)
-    kern = functools.partial(_fwd_kernel, BN=BN, C=C, Nq=Nq, D=D, dl=dl)
+    ins, per_bn, per_bn3, per_b3, const2, W = _specs(B, BN, C, N, Nq, D,
+                                                     dl, L)
+    msel = jnp.asarray(_msel_pairs(L))
+    kern = functools.partial(_fwd_kernel, BN=BN, C=C, Nq=Nq, D=D, dl=dl,
+                             L=L)
     cu, cm = pl.pallas_call(
         kern,
         grid=(B, N // BN),
@@ -344,30 +389,33 @@ def _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask):
             transcendentals=B * N * C * (Nq + C),
         ),
         interpret=interpret,
-    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb, mw, mb)
+    )(fc_cm, fbar, fw, fs, qflat, msel, lrow, cw, cb, mw, mb)
     return cu, cm
 
 
-def _fwd_vjp(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask):
+def _fwd_vjp(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, lrow):
     out = _fwd_call(static, cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat,
-                    vmask)
-    return out, (cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask)
+                    lrow)
+    return out, (cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, lrow)
 
 
 def _bwd_vjp(static, res, cots):
-    BN, C, N, Nq, D, dl, interpret = static
-    cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, vmask = res
+    BN, C, N, Nq, D, dl, L, interpret = static
+    cw, cb, mw, mb, fc_cm, fbar, fw, fs, qflat, lrow = res
     dcu, dcm = cots
     B = fc_cm.shape[0]
     dtype = fc_cm.dtype
     dcu = dcu.astype(dtype)
     dcm = dcm.astype(dtype)
-    ins, per_bn, per_bn3, per_b3, const2, W = _specs(B, BN, C, N, Nq, D, dl)
+    ins, per_bn, per_bn3, per_b3, const2, W = _specs(B, BN, C, N, Nq, D,
+                                                     dl, L)
+    msel = jnp.asarray(_msel_pairs(L))
     ins = ins + [
         pl.BlockSpec((1, C, BN, D), per_bn, memory_space=pltpu.VMEM),  # dcu
         pl.BlockSpec((1, BN, D), per_bn3, memory_space=pltpu.VMEM),    # dcm
     ]
-    kern = functools.partial(_bwd_kernel, BN=BN, C=C, Nq=Nq, D=D, dl=dl)
+    kern = functools.partial(_bwd_kernel, BN=BN, C=C, Nq=Nq, D=D, dl=dl,
+                             L=L)
     outs = pl.pallas_call(
         kern,
         grid=(B, N // BN),
@@ -403,10 +451,10 @@ def _bwd_vjp(static, res, cots):
             transcendentals=2 * B * N * C * (Nq + C),
         ),
         interpret=interpret,
-    )(fc_cm, fbar, fw, fs, qflat, vmask, cw, cb, mw, mb, dcu, dcm)
+    )(fc_cm, fbar, fw, fs, qflat, msel, lrow, cw, cb, mw, mb, dcu, dcm)
     dfc, dfbar, dfw, dfs, dcw, dcb, dmw, dmb = outs
     return (dcw, dcb, dmw, dmb, dfc, dfbar, dfw, dfs,
-            jnp.zeros_like(qflat), jnp.zeros_like(vmask))
+            jnp.zeros_like(qflat), jnp.zeros_like(lrow))
 
 
 content_rows_train.defvjp(_fwd_vjp, _bwd_vjp)
@@ -439,13 +487,16 @@ def smi_stack_content_train(params, cfg, fc, fm, fb, fw, fs, query_mask,
     fm, fb, fw = fm.astype(dtype), fb.astype(dtype), fw.astype(dtype)
     fs = fs.astype(dtype)
     BN = _pick_bn(N, C, D, jnp.dtype(dtype).itemsize)
-    static = (BN, C, N, Nq, D, dl, interpret)
+    static = (BN, C, N, Nq, D, dl, L, interpret)
 
     cw, cb, *_ = _stack_weights(params, D, dl, _F32)
 
     fc_cm = fc.transpose(0, 2, 1, 3)                    # (B, C, N, D)
     qflat = query_mask[..., 0].astype(_F32)[:, None, :]  # (B, 1, Nq)
-    vm3 = vmask.astype(_F32)[..., None]                 # (B, N, 1)
+    # Pair validity is re-derived in VMEM from the length column (see
+    # `_msel_pairs`) — a (B, N, 1) vmask operand would HBM-tile its unit
+    # lane axis to 128 lanes (128x DMA inflation).
+    lrow = length_mask.astype(_F32)[..., None]          # (B, L, 1)
     fs3 = fs[:, None, :]
     m_mask = vmask.astype(dtype)[..., None]
 
@@ -454,7 +505,7 @@ def smi_stack_content_train(params, cfg, fc, fm, fb, fw, fs, query_mask,
         mfc = p_layer["moment"]["conv_fc"]
         cu_cm, conv_fc = content_rows_train(
             static, cw[i].astype(dtype), cb[i], mfc["w"].astype(dtype),
-            mfc["b"][None, :], fc_cm, fbar, fw, fs3, qflat, vm3)
+            mfc["b"][None, :], fc_cm, fbar, fw, fs3, qflat, lrow)
         bu = boundary_unit_packed(p_layer["boundary"], fb, fw, fs, fm,
                                   query_mask, length_mask, L, fbar=fbar)
         # moment unit's boundary half on XLA; the conv_fc half came out

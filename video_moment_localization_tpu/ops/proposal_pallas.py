@@ -263,6 +263,29 @@ def _wc_packed_cmajor(T: int, L: int, C: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _msel_rows(L: int, C: int, NC_pad: int) -> np.ndarray:
+    """(NC_pad, L) pair-validity selector, c-major row (c*N + n): 1 at
+    columns i_n and j_n (a single 2 where i == j), so
+    max(msel @ lmask_col - 1, 0) == lmask[i]*lmask[j] exactly for {0,1}
+    masks (pad rows are all-zero -> mask 0). Lets the kernels derive the
+    row mask IN VMEM from the tiny (L, 1) length column instead of a
+    (B, NC_pad, 1) operand whose unit lane axis HBM-tiles to 128 lanes
+    (128x DMA inflation, ~285 MB/call at Charades B=1024 f32)."""
+    from video_moment_localization_tpu.ops.packing import triu_packing
+
+    p = triu_packing(L)
+    sel = np.zeros((p.N, L), np.float32)
+    sel[np.arange(p.N), p.i_idx] += 1.0
+    sel[np.arange(p.N), p.j_idx] += 1.0
+    rows = np.tile(sel, (C, 1))
+    if NC_pad > rows.shape[0]:
+        rows = np.concatenate(
+            [rows, np.zeros((NC_pad - rows.shape[0], L), np.float32)],
+            axis=0)
+    return rows
+
+
+@functools.lru_cache(maxsize=None)
 def _wm_packed(T: int, L: int, C: int) -> np.ndarray:
     """(N, T) fp32: row n = mean over C of pair n's clip-averaging rows —
     fm = vmask * (Wm @ f) reproduces mean-over-C of the masked fc rows."""
@@ -273,19 +296,28 @@ def _wm_packed(T: int, L: int, C: int) -> np.ndarray:
     return np.ascontiguousarray(wc.mean(axis=1))
 
 
-def _rows_kernel(wc_ref, f_ref, mask_ref, fc_ref, *, precision):
-    """One (row-block, batch) cell: R c-major pair-clip rows, one matmul."""
+def _rows_kernel(wc_ref, f_ref, msel_ref, lrow_ref, fc_ref, *, precision):
+    """One (row-block, batch) cell: R c-major pair-clip rows, one matmul.
+    The row mask is derived in VMEM from the (L, 1) length column via the
+    `_msel_rows` selector (see its docstring)."""
     x = f_ref[0].astype(jnp.float32)                     # (T, D)
     y = jnp.dot(wc_ref[:], x, preferred_element_type=jnp.float32,
                 precision=precision)                     # (R, D)
-    fc_ref[0] = (y * mask_ref[0]).astype(fc_ref.dtype)
+    mask = jnp.maximum(
+        jnp.dot(msel_ref[:], lrow_ref[0].astype(jnp.float32),
+                preferred_element_type=jnp.float32) - 1.0, 0.0)  # (R, 1)
+    fc_ref[0] = (y * mask).astype(fc_ref.dtype)
 
 
-def _rows_bwd_kernel(wc_ref, g_ref, mask_ref, df_ref):
+def _rows_bwd_kernel(wc_ref, g_ref, msel_ref, lrow_ref, df_ref):
     """df[b] += Wc_block^T @ (mask * g_block): mask applied in VMEM so the
-    XLA side never materializes a masked f32 copy of the row cotangent."""
+    XLA side never materializes a masked f32 copy of the row cotangent.
+    The mask is derived in VMEM from the length column (`_msel_rows`)."""
     nb = pl.program_id(1)
-    g = g_ref[0] * mask_ref[0].astype(g_ref.dtype)
+    mask = jnp.maximum(
+        jnp.dot(msel_ref[:], lrow_ref[0].astype(jnp.float32),
+                preferred_element_type=jnp.float32) - 1.0, 0.0)  # (R, 1)
+    g = g_ref[0] * mask.astype(g_ref.dtype)
     y = jax.lax.dot_general(
         wc_ref[:], g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -300,13 +332,10 @@ def _rows_bwd_kernel(wc_ref, g_ref, mask_ref, df_ref):
         df_ref[0] = df_ref[0] + y.astype(df_ref.dtype)
 
 
-def _rows_mask_col(length_mask, L: int, C: int, NC_pad: int):
+def _rows_vmask(length_mask):
     from video_moment_localization_tpu.ops.packing import packed_valid_mask
 
-    vmask = packed_valid_mask(length_mask.astype(jnp.float32))     # (B, N)
-    mask_col = jnp.tile(vmask, (1, C))                             # c-major
-    mask_col = jnp.pad(mask_col, ((0, 0), (0, NC_pad - mask_col.shape[1])))
-    return vmask, mask_col[..., None]
+    return packed_valid_mask(length_mask.astype(jnp.float32))     # (B, N)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -320,7 +349,9 @@ def proposal_features_rows(f, length_mask, L: int, C: int,
     wc = jnp.asarray(wc_rows)
     NC_pad = wc.shape[0]
     num_blocks = NC_pad // R
-    vmask, mask_col = _rows_mask_col(length_mask, L, C, NC_pad)
+    vmask = _rows_vmask(length_mask)
+    msel = jnp.asarray(_msel_rows(L, C, NC_pad))
+    lrow = length_mask[..., None].astype(jnp.float32)            # (B, L, 1)
 
     precision = (jax.lax.Precision.HIGHEST if f.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
@@ -332,7 +363,9 @@ def proposal_features_rows(f, length_mask, L: int, C: int,
             pl.BlockSpec((R, T), lambda nb, b: (nb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, D), lambda nb, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 1), lambda nb, b: (b, nb, 0),
+            pl.BlockSpec((R, L), lambda nb, b: (nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, 1), lambda nb, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, D), lambda nb, b: (b, nb, 0),
@@ -345,7 +378,7 @@ def proposal_features_rows(f, length_mask, L: int, C: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wc, f, mask_col)
+    )(wc, f, msel, lrow)
 
     N = L * (L + 1) // 2
     fc_rows = fc_rows[:, : N * C, :]
@@ -371,7 +404,9 @@ def _rows_bwd(L, C, interpret, residuals, cotangents):
     wc = jnp.asarray(wc_rows).astype(f.dtype)
     NC_pad = wc.shape[0]
     num_blocks = NC_pad // R
-    vmask, mask_col = _rows_mask_col(length_mask, L, C, NC_pad)
+    vmask = _rows_vmask(length_mask)
+    msel = jnp.asarray(_msel_rows(L, C, NC_pad))
+    lrow = length_mask[..., None].astype(jnp.float32)            # (B, L, 1)
 
     g = dfc_rows.astype(f.dtype)
     if NC_pad != N * C:
@@ -384,7 +419,9 @@ def _rows_bwd(L, C, interpret, residuals, cotangents):
             pl.BlockSpec((R, T), lambda b, nb: (nb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, D), lambda b, nb: (b, nb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 1), lambda b, nb: (b, nb, 0),
+            pl.BlockSpec((R, L), lambda b, nb: (nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, 1), lambda b, nb: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, D), lambda b, nb: (b, 0, 0),
@@ -397,16 +434,24 @@ def _rows_bwd(L, C, interpret, residuals, cotangents):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wc, g, mask_col)
+    )(wc, g, msel, lrow)
 
     # fm = vmask * (Wm @ f): transposed einsum, masked on the small side.
+    # fb = non-overlapping window mean of f: its transpose is a matmul
+    # against the (L, T) window matrix Wb (1/win entries), folded into the
+    # SAME einsum by concatenating [gm; dfb] x [Wm; Wb] — the repeat/div
+    # formulation materialized two (B, T, D) f32 intermediates
+    # (broadcast + div, ~1 ms/step at B=1024 in the profiler timeline).
     wm = jnp.asarray(_wm_packed(T, L, C), f.dtype)
-    gm = (dfm.astype(jnp.float32) * vmask[..., None]).astype(f.dtype)
-    df = df + jnp.einsum("bnd,nt->btd", gm, wm,
-                         preferred_element_type=jnp.float32)
-    # fb = non-overlapping window mean of f: spread dfb back over windows.
     win = T // L
-    df = df + jnp.repeat(dfb.astype(jnp.float32), win, axis=1) / float(win)
+    wb = np.zeros((L, T), np.float32)
+    for l in range(L):
+        wb[l, l * win : (l + 1) * win] = 1.0 / win
+    gm = (dfm.astype(jnp.float32) * vmask[..., None]).astype(f.dtype)
+    gcat = jnp.concatenate([gm, dfb.astype(f.dtype)], axis=1)  # (B, N+L, D)
+    wcat = jnp.concatenate([wm, jnp.asarray(wb, f.dtype)], axis=0)
+    df = df + jnp.einsum("bnd,nt->btd", gcat, wcat,
+                         preferred_element_type=jnp.float32)
     return df.astype(f.dtype), jnp.zeros_like(length_mask)
 
 

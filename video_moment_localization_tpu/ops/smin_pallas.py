@@ -132,6 +132,30 @@ def _geometry_bb(T: int, L: int, C: int, BB: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _msel_bb(T: int, L: int, C: int, BB: int) -> np.ndarray:
+    """(BB*NC, BB*L) pair-validity selector for deriving the c-major row
+    mask IN-KERNEL from the (BB*L, 1) length-mask column:
+
+        mcol = max(msel @ lmask_col - 1, 0)
+
+    Row (b, c, n) holds 1 at columns (b, i_n) and (b, j_n) (a single 2
+    where i == j), so the matmul yields lmask[i]+lmask[j] in {0, 1, 2} and
+    the relu reproduces lmask[i]*lmask[j] exactly for {0, 1} masks —
+    identical to `packing.packed_valid_mask` tiled over C. Used by the
+    TRAIN kernels (ops/smin_train_pallas.py `_masks_in_kernel`) to
+    replace the (B, NC, 1) mcol OPERAND, whose trailing unit lane axis
+    is padded to the 128-lane tile in HBM (a 128x DMA inflation: 285 MB
+    per kernel call at Charades B=1024 f32, ~2 ms/step across the 6
+    stack calls in the train profiler timeline). The SERVING kernel in
+    this file deliberately keeps the operand: the in-VMEM derivation
+    tripled its Mosaic compile time (165 s -> >570 s measured) for ~2%
+    of step time — see `_kernel`."""
+    _, _, sel_i, sel_j, _ = _geometry(T, L, C)
+    eye = np.eye(BB, dtype=np.float32)
+    return np.kron(eye, np.tile(sel_i + sel_j, (C, 1)))
+
+
 def supports(cfg_or_L, C: int | None = None, D: int | None = None,
              itemsize: int = 2) -> bool:
     """VMEM feasibility at BB=1: the working set (~2.5x the resident fc/cu/
@@ -509,9 +533,16 @@ def _kernel(f_ref, fw_ref, fs_ref, qflat_ref, qrow_ref, lflat_ref, lrow_ref,
     qflat = qflat_ref[:].reshape(1, BB * Nq).astype(f32)  # lanes, all elems
     lflat = lflat_ref[:].reshape(1, BB * L).astype(f32)
     mcol = mcol_ref[:].reshape(BB * NC, 1).astype(f32)   # (BB, NC, 1) in
-    # row-mask layouts arrive as separate (rows, 1) inputs: deriving them
-    # from the lane layouts would need lane->sublane shape casts, which
-    # Mosaic's layout inference rejects at these widths.
+    # Row-mask layouts arrive as separate (rows, 1) OPERANDS in this kernel:
+    # deriving them in VMEM from the (BB*L, 1) length column (the train
+    # kernels' `_masks_in_kernel` one-matmul trick, which kills the unit-
+    # lane-axis operand's 128x DMA inflation) TRIPLES this kernel's Mosaic
+    # compile time (measured: cold serving compile 165 s with the operand
+    # vs >570 s with the in-VMEM derivation, same session) — fatal for the
+    # bench's serving deadline and for cold-start serving, against ~2% of
+    # step time saved. The train kernels keep the derivation (their A/B
+    # measured compile-neutral, 9.6 ms/step faster); see
+    # ops/smin_train_pallas.py.
     # c-major rows: the first N rows of each element's NC block are the
     # per-pair mask (clip 0) — a contiguous block slice.
     mrow = (mcol_ref[:].reshape(BB, C * N)[:, 0:N]
@@ -666,6 +697,8 @@ def smin_stack_fused(params, cfg, f, fw, fs, query_mask, length_mask,
     wc, wb, sel_i, sel_j, rsum = _geometry_bb(T, L, C, BB)
 
     # c-major rows (see _geometry): mcol row (c*N + n) masks pair n -> tile.
+    # Shipped as an operand: in-VMEM derivation triples this kernel's
+    # Mosaic compile time (see the measured note in `_kernel`).
     mcol = jnp.tile(vmask.astype(f32), (1, C))[..., None]        # (B, NC, 1)
     # Per-cell flattened masks: the BB elements' tokens/snippets along
     # lanes, for the block-diagonal attention masking.
