@@ -77,7 +77,12 @@ BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 # bigger batches): 14,275 at B=2048 vs 14,211 at B=1024 — neutral
 # (+0.5%, noise), B=1024 stands.
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
-B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1024))
+# Train batch 1536 (round 4): divisible by 6, which admits the BB=6
+# backward cell under the widened bwd VMEM window — measured 16.4k vs
+# 15.1k samples/s at B=1024/BB=4 (+8.2%); batch size itself is neutral
+# (B=2048 at BB=4 measured +0.5% vs 1024). Costs ~2 min of extra cold
+# Mosaic compile on the train chain (~7 vs ~5 min).
+B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1536))
 # K = scan iters inside one jit. Each dispatched call through the tunnel
 # costs ~27 ms host-side regardless of device work, so per-step overhead
 # is ~27/K ms: at the old K_TRAIN=4 that shaved ~6.8 ms/step off the
@@ -495,11 +500,15 @@ def main() -> None:
                              daemon=True)
         t.start()
 
-        # Serving must land by ~55% of budget; the rest by ~85% — the
+        # Serving must land by ~65% of budget; the rest by ~90% — the
         # leftovers cover the parent's XLA fallback when the probe dies
-        # early, or just end the bench sooner when it succeeds.
-        serve_deadline = _T0 + 0.55 * BUDGET_S
-        rest_deadline = _T0 + 0.85 * BUDGET_S
+        # early, or just end the bench sooner when it succeeds. (Raised
+        # from 0.55/0.85 in round 4: a measured-cold serving stage took
+        # 674 s — the remote compile service runs ~1.6x slower some days
+        # — leaving only 116 s of margin against the old 825 s deadline;
+        # the XLA fallback needs ~90 s, which 10% of budget still covers.)
+        serve_deadline = _T0 + 0.65 * BUDGET_S
+        rest_deadline = _T0 + 0.90 * BUDGET_S
         while _PROBE_PROC.poll() is None:
             now = time.perf_counter()
             with lock:

@@ -188,6 +188,41 @@ def test_gradient_parity_split_bb(monkeypatch):
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_gradient_parity_bb6(monkeypatch):
+    """Non-power-of-two cell widths (the round-4 BB=6 backward: 6 x 18.9
+    MB/elem fits the wider train_bwd_vmem_limit window on v5e, measured
+    faster than BB=4) — forced here to bwd=3 / fwd=6 at B=6 so the odd-BB
+    grid arithmetic (BB*N row blocks, block-diagonal masks) runs in
+    interpret mode against the XLA stack."""
+    monkeypatch.setenv("VML_SMIN_TRAIN_BB", "3")
+    monkeypatch.setenv("VML_SMIN_TRAIN_BB_FWD", "6")
+    params = init_smin_params(jax.random.PRNGKey(0), CFG)
+    f, fw, fs, qmask, lmask = _inputs(CFG, B=6)
+    vmask = packed_valid_mask(lmask)
+    fc, fm, fb = proposal_features_packed(f, lmask, CFG.L, CFG.C)
+    B = fc.shape[0]
+    rng = np.random.default_rng(11)
+    wm = jnp.asarray(rng.standard_normal(fm.shape).astype(np.float32))
+    wb = jnp.asarray(rng.standard_normal(fb.shape).astype(np.float32))
+
+    def scalar(stack_fn, p, fc_, fm_, fb_, fw_, fs_):
+        fm_o, fb_o = stack_fn(p, CFG, fc_, fm_, fb_, fw_, fs_, qmask,
+                              lmask, vmask)
+        return (jnp.sum(fm_o * wm * vmask[..., None])
+                + jnp.sum(fb_o * wb * lmask[..., None])) / B
+
+    g_x = jax.grad(lambda *a: scalar(_xla_stack, *a), argnums=(0, 1))(
+        params, fc, fm, fb, fw, fs)
+    g_k = jax.grad(lambda *a: scalar(_fused_stack, *a), argnums=(0, 1))(
+        params, fc, fm, fb, fw, fs)
+    flat_x, tree_x = jax.tree.flatten(g_x)
+    flat_k, tree_k = jax.tree.flatten(g_k)
+    assert tree_x == tree_k
+    for a, b in zip(flat_x, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_fused_fwd_stack_matches_per_layer(monkeypatch):
     """The opt-in all-layers forward kernel (VML_SMIN_TRAIN_FUSED_FWD=1)
     produces the same outputs AND gradients as the default per-layer

@@ -97,6 +97,31 @@ def train_budget() -> int:
     return kernel_vmem_limit() * _TRAIN_BUDGET_V5E // _LIMIT_V5E
 
 
+# The backward kernel gets a WIDER Mosaic window than the 100 MiB default:
+# its VMEM appetite is residual-dominated (measured ~17.8 MB/element at
+# Charades bf16), and BB=6 cells — measured 1.15x the BB=4 backward on the
+# chained step at B=1536 — only schedule inside ~107 MB. 16 MiB of
+# headroom (vs the default 28) still compiles and hits full throughput on
+# v5e; the fwd/serving kernels keep the proven default window.
+_BWD_HEADROOM = 16 * _MIB
+_TRAIN_BWD_BUDGET_V5E = 115_000_000
+
+
+def train_bwd_vmem_limit() -> int:
+    """``vmem_limit_bytes`` for the train BACKWARD kernel only."""
+    return max(0, device_vmem_bytes() - _BWD_HEADROOM)
+
+
+def train_bwd_budget() -> int:
+    """Working-set cap for the backward-cell BB admission (wider window).
+
+    v5e value 115 MB: admits BB=6 at Charades bf16 (6 x 18.94 MB/elem
+    = 113.6 MB — compiled + measured inside the 112 MiB window) and
+    rejects BB=8 (151.5 MB — above the chip's 128 MiB physical VMEM).
+    TACoS (BB=1) and fp32 Charades (BB=2) admissions are unchanged."""
+    return train_bwd_vmem_limit() * _TRAIN_BWD_BUDGET_V5E // (112 * _MIB)
+
+
 def max_cell_rows() -> int:
     """Largest serving-kernel cell row count proven to compile (v5e)."""
     return int(os.environ.get("VML_MAX_CELL_ROWS", 8400))
