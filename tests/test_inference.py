@@ -87,6 +87,42 @@ def test_localize_single_and_batch(trained):
     assert [(m.start, m.end) for m in solo] == [(m.start, m.end) for m in out[0]]
 
 
+def test_grouped_video_dedup_matches_plain(trained):
+    """Repeated video arrays route through the grouped-video path (the
+    encoder runs once per unique video, pairs gathered before the Hadamard
+    fusion) and must match per-pair encoding to float tolerance."""
+    root, cfg_path, glove = trained
+    from video_moment_localization_tpu.inference import MomentLocalizer
+
+    old = os.getcwd()
+    os.chdir(str(root))
+    try:
+        loc = MomentLocalizer.from_checkpoint(cfg_path, glove_path=glove,
+                                              serve_batch=8)
+    finally:
+        os.chdir(old)
+
+    rng = np.random.default_rng(3)
+    vids = [rng.standard_normal((int(n), 32)).astype(np.float32)
+            for n in (17, 41)]
+    queries = ["person opens the door", "someone sits down",
+               "a cup is lifted", "person closes a laptop"]
+    # 2 unique videos x 4 queries = 8 pairs -> G bucket 2 <= 8/2: grouped.
+    reqs = [(v, q, 12.0) for v in vids for q in queries]
+    grouped_out = loc.localize_batch(reqs, top_k=4)
+
+    # Force the plain path by making every row's array a distinct object.
+    reqs_plain = [(v.copy(), q, 12.0) for v in vids for q in queries]
+    plain_out = loc.localize_batch(reqs_plain, top_k=4)
+
+    for g_ms, p_ms in zip(grouped_out, plain_out):
+        assert [(m.start, m.end) for m in g_ms] == \
+               [(m.start, m.end) for m in p_ms]
+        np.testing.assert_allclose([m.score for m in g_ms],
+                                   [m.score for m in p_ms],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_localize_with_soft_nms(trained):
     root, cfg_path, glove = trained
     from video_moment_localization_tpu.inference import MomentLocalizer

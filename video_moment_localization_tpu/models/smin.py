@@ -508,18 +508,33 @@ def smin_forward(
     query_mask: jnp.ndarray,       # (B, Nq, 1)
     length_mask: jnp.ndarray,      # (B, L)
     moment_mask: jnp.ndarray,      # (B, L, L); may be None in packed mode
+    video_group: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward pass -> (pm, ps, pe, pa), all fp32 in [0, 1].
 
     pm is (B, N = L(L+1)/2) in the packed layout (cfg.packed and not
     cfg.compat_head — the default; moment_mask is unused and may be None),
     (B, L, L) otherwise. Reference: models.py:346-377 (SMIN.forward).
+
+    ``video_group``: optional (vf_g (G, T, dv), vm_g (G, T, 1), vidx (B,))
+    — grouped-video serving: the video encoder runs once per UNIQUE video
+    and rows are gathered to pairs before the Hadamard fusion
+    (f = fv_g[vidx] * fs), bit-identical to encoding each pair's copy.
+    When set, ``video_features``/``video_mask`` are ignored (pass None).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
-    vf = video_features.astype(dtype)
     qf = query_features.astype(dtype)
 
-    f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
+    if video_group is None:
+        vf = video_features.astype(dtype)
+        f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask)
+    else:
+        vf_g, vm_g, vidx = video_group
+        fv_g = video_encoder(params["video_encoder"], vf_g.astype(dtype),
+                             vm_g)
+        fs, fw = query_encoder(params["query_encoder"], qf, query_mask,
+                               cfg.lstm_hidden_size)
+        f = jnp.take(fv_g, vidx, axis=0) * fs[:, None, :]
 
     if cfg.packed:
         from video_moment_localization_tpu.ops.packing import packed_valid_mask
@@ -620,6 +635,7 @@ def smin_forward_inference(
     query_mask: jnp.ndarray,
     length_mask: jnp.ndarray,
     moment_mask: jnp.ndarray,
+    video_group: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Grad-free forward for eval/serving: same contract as `smin_forward`,
     but routes the SMIN interior through the fused VMEM-resident SMI-stack
@@ -627,7 +643,10 @@ def smin_forward_inference(
     over the packed XLA path at the flagship serving batch (and 1.25x at
     ActivityNet L=64, B=512). Falls back to `smin_forward` off-TPU, at
     unsupported scales, or in compat/dense modes. Not differentiable
-    through the kernel path — use `smin_forward` for training."""
+    through the kernel path — use `smin_forward` for training.
+
+    ``video_group``: see `smin_forward` — encode G unique videos once and
+    gather to B pairs (grouped serving, `MomentLocalizer` dedup path)."""
     # fp32 activations run the kernel's HIGHEST-precision MXU mode (full
     # fp32 passes — ops/smin_pallas.py `prec`), so the parity-exact fp32
     # mode gets the kernel too; verified on chip vs the fp32 XLA path in
@@ -642,13 +661,23 @@ def smin_forward_inference(
             )
 
             dtype = jnp.dtype(cfg.compute_dtype)
-            vf = video_features.astype(dtype)
             qf = query_features.astype(dtype)
-            f, fs, fw = backbone(params, cfg, vf, video_mask, qf, query_mask,
-                                 fused_lstm=cfg.fused_lstm)
+            if video_group is None:
+                vf = video_features.astype(dtype)
+                f, fs, fw = backbone(params, cfg, vf, video_mask, qf,
+                                     query_mask, fused_lstm=cfg.fused_lstm)
+            else:
+                vf_g, vm_g, vidx = video_group
+                fv_g = video_encoder(params["video_encoder"],
+                                     vf_g.astype(dtype), vm_g)
+                fs, fw = query_encoder(params["query_encoder"], qf,
+                                       query_mask, cfg.lstm_hidden_size,
+                                       fused=cfg.fused_lstm)
+                f = jnp.take(fv_g, vidx, axis=0) * fs[:, None, :]
             vmask = packed_valid_mask(
                 length_mask.astype(jnp.float32)).astype(dtype)
             return smin_pallas.smin_stack_fused(
                 params, cfg, f, fw, fs, query_mask, length_mask, vmask)
     return smin_forward(params, cfg, video_features, video_mask,
-                        query_features, query_mask, length_mask, moment_mask)
+                        query_features, query_mask, length_mask, moment_mask,
+                        video_group=video_group)
