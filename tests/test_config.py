@@ -39,6 +39,14 @@ def test_missing_key_rejected():
         config_from_dict(cfg)
 
 
+def test_unknown_model_rejected():
+    """Reference main.py:68-75 raises on any model name but SMIN."""
+    cfg = load_config(os.path.join(REPO, "config/charadessta.yml")).raw
+    cfg["model"] = "FOO"
+    with pytest.raises(ValueError, match="Model FOO is not a valid model!"):
+        config_from_dict(cfg)
+
+
 def test_shape_constraints_validated():
     with pytest.raises(ValueError, match="multiple of L"):
         ModelConfig(T=60, L=16)

@@ -85,6 +85,37 @@ def test_is_compile_error_classification():
         NotImplementedError("no lowering rule for reduce_precision"))
     assert not limits.is_compile_error(ValueError("nan loss detected"))
     assert not limits.is_compile_error(KeyError("video_features"))
+    # Runtime HBM OOMs must propagate (round-4 review): retrying would
+    # re-call with donated/deleted arrays and wrongly disable kernels.
+    assert not limits.is_compile_error(Exception(
+        "RESOURCE_EXHAUSTED: Out of memory while trying to allocate "
+        "17301504000 bytes."))
+    assert not limits.is_compile_error(Exception(
+        "RESOURCE_EXHAUSTED: Error allocating device buffer: Attempting "
+        "to allocate 16.50G. That was not possible. There are 2.1G free."))
+
+
+def test_fallback_skips_retry_on_deleted_donated_args():
+    """A compile-classified error after donated inputs were consumed must
+    propagate unchanged instead of retrying with deleted arrays."""
+
+    class FakeArray:
+        def is_deleted(self):
+            return True
+
+    def build():
+        def fn(x):
+            raise RuntimeError(
+                "INTERNAL: Mosaic failed to compile TPU kernel: stack")
+        return fn
+
+    try:
+        wrapped = limits.with_kernel_fallback(build, ("smin_pallas",))
+        with pytest.raises(RuntimeError, match="Mosaic failed"):
+            wrapped(FakeArray())
+        assert not limits.kernel_disabled("smin_pallas")
+    finally:
+        limits.enable_kernel("smin_pallas")
 
 
 def test_fallback_wrapper_reroutes_once():

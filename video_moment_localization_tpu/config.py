@@ -163,6 +163,10 @@ def config_from_dict(params: Dict[str, Any], experiment: str = "experiment") -> 
     missing = [k for k in REQUIRED_KEYS if k not in params]
     if missing:
         raise KeyError(f"config missing required keys: {missing}")
+    # Only SMIN exists — same raise-on-unknown semantics (and error shape)
+    # as reference main.py:68-75 get_model().
+    if str(params["model"]) != "SMIN":
+        raise ValueError(f'Model {params["model"]} is not a valid model!')
     model = ModelConfig(
         T=int(params["T"]),
         L=int(params["L"]),

@@ -213,21 +213,28 @@ class MomentLocalizer:
         the device computes while the caller prepares the next chunk
         (the double-buffering primitive `localize_batch` is built on).
 
-        Repeated videos are deduplicated: rows whose ``clip_features`` is
-        the SAME ndarray object (by identity — pass one array per video)
-        are host-featurized once and, when the unique count fits a bucket
-        at most half the pair bucket (single-device serving), scored via
-        the grouped-video path — the video encoder runs once per unique
+        Repeated videos are deduplicated: rows carrying an explicit
+        4th tuple element ``video_key`` (any hashable) share one host
+        featurization + device encode per key; without it the fallback
+        key is ndarray object identity (pass one array per video — equal
+        content in distinct objects is NOT detected, and the features
+        must not be mutated between dispatch and collect). When the
+        unique count fits a bucket at most half the pair bucket
+        (single-device serving), the chunk is scored via the
+        grouped-video path — the video encoder runs once per unique
         video on device (the eval workload scores one video against many
         queries). Results are bit-identical to the ungrouped path.
         """
         cfg = self.cfg
         # Host-side dedup: featurize each distinct video / query once.
-        vid_rows: dict = {}     # id(features) -> (g, (vf, vm, lm, mm))
+        vid_rows: dict = {}     # video key -> (g, (vf, vm, lm, mm))
         q_cache: dict = {}      # query string -> (qf, qm)
         vidx = []
-        for f, q, _ in chunk:
-            key = id(f)
+        vkeys = []
+        for row in chunk:
+            f, q = row[0], row[1]
+            key = row[3] if len(row) > 3 else id(f)
+            vkeys.append(key)
             if key not in vid_rows:
                 vid_rows[key] = (len(vid_rows), self._prepare_video(f))
             if q not in q_cache:
@@ -251,9 +258,9 @@ class MomentLocalizer:
                 )
             return put(arr)
 
-        per_row_v = [vid_rows[id(f)][1] for f, _, _ in chunk]
-        qf = stack_pairs([q_cache[q][0] for _, q, _ in chunk], pad)
-        qm = stack_pairs([q_cache[q][1] for _, q, _ in chunk], pad)
+        per_row_v = [vid_rows[k][1] for k in vkeys]
+        qf = stack_pairs([q_cache[row[1]][0] for row in chunk], pad)
+        qm = stack_pairs([q_cache[row[1]][1] for row in chunk], pad)
         lm = stack_pairs([v[2] for v in per_row_v], pad)
         mm = stack_pairs([v[3] for v in per_row_v], pad)
 
@@ -286,7 +293,8 @@ class MomentLocalizer:
 
             pk = triu_packing(cfg.L)
         results: List[List[Moment]] = []
-        for b, (_, _, duration) in enumerate(chunk):
+        for b, row in enumerate(chunk):
+            duration = row[2]
             moments = []
             for k in range(top_k):
                 flat = int(idxs[b, k])
@@ -321,11 +329,15 @@ class MomentLocalizer:
         """
         results: List[List[Moment]] = []
         pending: List[Any] = []
+        limit = max(1, max_in_flight)
         for chunk_start in range(0, len(requests), self.serve_batch):
             chunk = requests[chunk_start : chunk_start + self.serve_batch]
-            pending.append(self.dispatch(chunk, top_k))
-            if len(pending) > max_in_flight:
+            # Collect BEFORE dispatching so at most `max_in_flight`
+            # batches are ever queued (round-4 review: the old
+            # post-dispatch pop admitted max_in_flight+1).
+            while len(pending) >= limit:
                 results.extend(self.collect(pending.pop(0)))
+            pending.append(self.dispatch(chunk, top_k))
         for handle in pending:
             results.extend(self.collect(handle))
         return results

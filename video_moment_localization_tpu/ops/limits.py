@@ -177,8 +177,8 @@ _COMPILE_ERROR_MARKERS = (
     "mosaic",            # "Mosaic failed to compile TPU kernel: ..."
     "pallas",
     "lowering",          # pallas lowering rules ("no lowering rule for ...")
-    "vmem",              # VMEM exceeded / scratch overflow
-    "resource_exhausted",
+    "vmem",              # scoped-VMEM overflow (compile stage on TPU)
+    "failed to compile",
     "xla compilation",
 )
 
@@ -187,9 +187,35 @@ def is_compile_error(e: BaseException) -> bool:
     """Heuristic: does this exception look like a kernel *compile* failure
     (vs a runtime/data error that must propagate)? Mosaic failures surface
     as XlaRuntimeError('INTERNAL: Mosaic failed to compile TPU kernel ...')
-    or as pallas lowering exceptions at trace time."""
+    or as pallas lowering exceptions at trace time.
+
+    Round-4 review fix: a runtime HBM OOM ('RESOURCE_EXHAUSTED: Out of
+    memory while trying to allocate ...', 'Error allocating device
+    buffer') must NOT classify as compile-stage — with donate_argnums the
+    failed execution already consumed the donated buffers, so a fallback
+    retry would re-call with deleted arrays, and disabling the kernels
+    for a transient OOM would be wrong anyway. Those texts carry no
+    mosaic/pallas/vmem/compilation wording, so the markers above exclude
+    them; the formerly-matched bare 'resource_exhausted' marker is gone."""
     text = f"{type(e).__name__}: {e}".lower()
     return any(m in text for m in _COMPILE_ERROR_MARKERS)
+
+
+def _any_deleted(args, kwargs) -> bool:
+    """True when any jax.Array in the call's inputs was already consumed
+    (donated to a failed execution) — a retry would raise a confusing
+    'Array has been deleted' instead of the real error."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves((args, kwargs)):
+        is_deleted = getattr(leaf, "is_deleted", None)
+        if callable(is_deleted):
+            try:
+                if is_deleted():
+                    return True
+            except Exception:  # noqa: BLE001 - liveness probe only
+                pass
+    return False
 
 
 def with_kernel_fallback(
@@ -206,24 +232,44 @@ def with_kernel_fallback(
     VML_DISABLE_KERNELS to bisect), the callable rebuilt, and the call
     retried once on the XLA route. Non-compile errors propagate unchanged,
     as does a compile error when every listed kernel is already disabled
-    (i.e. the XLA path itself failed).
+    (i.e. the XLA path itself failed) or when any donated input was
+    already consumed by the failed attempt (then a retry is impossible
+    and the original error is the truthful one). Build/rebuild is
+    lock-guarded so concurrent first calls (serving threads) construct
+    the callable once and never double-disable racily.
     """
+    import threading
+
     state: Dict[str, Callable] = {}
+    lock = threading.Lock()
+
+    def _get() -> Callable:
+        with lock:
+            fn = state.get("fn")
+            if fn is None:
+                fn = state["fn"] = build()
+            return fn
 
     def call(*args, **kwargs):
-        fn = state.get("fn")
-        if fn is None:
-            fn = state["fn"] = build()
+        fn = _get()
         try:
             return fn(*args, **kwargs)
         except Exception as e:  # noqa: BLE001 - filtered just below
-            fresh = [k for k in kernels if not kernel_disabled(k)]
-            if not fresh or not is_compile_error(e):
+            if not is_compile_error(e):
                 raise
-            reason = f"{type(e).__name__}: {str(e)[:300]}"
-            for k in fresh:
-                disable_kernel(k, f"{label or 'compile'} failed — {reason}")
-            fn = state["fn"] = build()
+            if not any(not kernel_disabled(k) for k in kernels):
+                raise
+            if _any_deleted(args, kwargs):
+                raise
+            with lock:
+                fresh = [k for k in kernels if not kernel_disabled(k)]
+                if fresh:  # first thread to get here disables + rebuilds
+                    reason = f"{type(e).__name__}: {str(e)[:300]}"
+                    for k in fresh:
+                        disable_kernel(
+                            k, f"{label or 'compile'} failed — {reason}")
+                    state["fn"] = build()
+                fn = state["fn"]
             return fn(*args, **kwargs)
 
     return call

@@ -447,6 +447,13 @@ def _rows_bwd(L, C, interpret, residuals, cotangents):
     wb = np.zeros((L, T), np.float32)
     for l in range(L):
         wb[l, l * win : (l + 1) * win] = 1.0 / win
+    # Precision trade (round-4 review): folding dfb into the shared einsum
+    # casts it to f.dtype (bf16 under the train config) where the old
+    # repeat/div path spread it in f32. Both cotangent halves now enter
+    # the MXU at the same precision as the forward's own bf16 matmuls and
+    # accumulate in f32 (preferred_element_type below); gradient-parity
+    # tolerances (tests/test_proposal_pallas.py) hold. If they ever
+    # tighten, split dfb back into its own f32 einsum.
     gm = (dfm.astype(jnp.float32) * vmask[..., None]).astype(f.dtype)
     gcat = jnp.concatenate([gm, dfb.astype(f.dtype)], axis=1)  # (B, N+L, D)
     wcat = jnp.concatenate([wm, jnp.asarray(wb, f.dtype)], axis=0)
