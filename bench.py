@@ -9,33 +9,55 @@ Measures the flagship Charades-STA-scale SMIN (T=64, L=16, C=4, D=512,
   The ``value`` is on-chip: K scored batches chained *inside one jit* via
   lax.scan (each iteration's input depends on the previous counts, so
   nothing is CSE'd or overlapped) — pure device throughput, no transport.
-* **training**: the fused train step (fwd+bwd+Adam+metrics) at B=512,
+* **training**: the fused train step (fwd+bwd+Adam+metrics) at B=1536,
   K steps chained in one jit through the params/opt-state carry.
 * **MFU**: measured matmul-FLOP rate (utils/flops.py, analytic) over the
   chip's peak — the roofline context VERDICT r1 asked for.
+* **secondary stages**: pipelined per-call wall throughput, soft-NMS
+  serving, and the two harder dataset geometries (ActivityNet serving
+  pairs/s, TACoS train samples/s — VERDICT r4 item 3).
 
-Structure (VERDICT r2 item 1 — the bench must emit a number
-unconditionally, within the driver budget). Hard-won environment facts
-shape it (docs/ARCHITECTURE.md "axon quirks"): the host has ONE cpu core;
-every remote AOT compile costs minutes and the persistent compile cache
-never hits across processes (the tunnel session salts the key); a
-host->device transfer of the B=6144 input set costs ~10 minutes of
-syscall-bound tunnel I/O — so all synthetic inputs are generated ON
-DEVICE (one small jitted jax.random program) and never cross the wire.
+Architecture (v5 — VERDICT r4 items 1-2: the bench must emit a
+driver-captured number *unconditionally*; the r02/r04 rc=124 failures
+were compile/latency lotteries the design must survive):
 
-1. The parent process is a thin JAX-free coordinator. It immediately
-   spawns the **fused-path probe** subprocess, which compiles and times,
-   in value order, the fused serving chain, the fused train chain, and a
-   soft-NMS serving variant — printing one JSON line per completed
-   measurement so partial results survive a kill.
-2. The parent streams the probe's stdout under per-stage deadlines
-   (serving by ~55% of budget, the rest by ~85%). Whatever lines arrived
-   become the result.
-3. Only if the probe produced no serving number does the parent import
-   JAX and run the packed-XLA serving path itself (compiles in ~5 min);
-   with very little budget left it drops to a smaller-batch XLA measure.
-4. A SIGTERM/SIGINT handler prints the best-so-far JSON, so an external
-   `timeout` kill still records every completed stage.
+1. **A JAX-free parent + ONE sequential probe subprocess.** Measured
+   2026-08-20: every JAX process pays a one-time device-attach latency
+   on its first execution (130-300 s in this window, day-dependent), and
+   that latency multiplies under host CPU contention (this host has ONE
+   core; two concurrent probes each blew through 560 s attaching —
+   exactly how the round-4-era two-probe rehearsal starved itself into
+   rc=124). One probe process pays the attach once and runs stages
+   strictly in value order: the guaranteed-cheap packed-XLA floor first
+   (serving then train — these JSON lines are the result floor, banked
+   with the parent within ~2 min of attach), then the fused-kernel
+   stages, each of which *upgrades* the floor. A late hang can never
+   take down an already-banked line.
+2. **Persisted executables.** Every measured program is AOT-cached under
+   ``bench_cache/`` via ``jax.experimental.serialize_executable``
+   (utils/aot_cache.py): a warm run deserializes compiled TPU binaries
+   (~0.6 s each, first call ~1 s — measured) and never talks to the
+   remote compile service, whose cold latency is the historical bench
+   killer (r4: the fused serving compile hadn't returned at 940+ s vs
+   368 s in r3). Cold misses compile once — guarded by a remaining-
+   budget estimate so a doomed cold compile is skipped rather than hung
+   on — and persist for the next run.
+3. **Budget-derived deadlines + stall watchdog.** ``VML_BENCH_BUDGET``
+   (driver-settable) defaults pessimistically to 900 s — the r4
+   external kill landed at ~1010 s while the bench assumed 1500 s. The
+   parent emits best-so-far JSON at budget-45 s unconditionally, earlier
+   when the probe finishes, and on SIGTERM/SIGINT. If the probe goes
+   ``VML_BENCH_STALL`` (420 s) without emitting a line, the parent kills
+   it and — budget permitting — respawns it skipping the hung stage.
+
+Hard-won environment facts (docs/ARCHITECTURE.md "axon quirks") that
+shape the above: the host has ONE cpu core; the XLA *compilation cache*
+never hits across processes (the tunnel session salts the key — which is
+exactly why the serialized-executable cache exists: it bypasses the
+cache key and the compile service both); a host->device transfer of the
+B=6144 input set costs ~10 minutes of syscall-bound tunnel I/O — so all
+synthetic inputs are generated ON DEVICE (one small jitted jax.random
+program, itself AOT-cached) and never cross the wire.
 
 Scope note (recorded in the JSON too): weights are randomly initialized
 and inputs synthetic — this measures compute throughput, not accuracy;
@@ -53,6 +75,7 @@ Prints exactly one JSON line on stdout.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import signal
@@ -64,50 +87,51 @@ import time
 BASELINE_PAIRS_PER_SEC = 9.94  # PyTorch-CPU reference, measured (see docstring)
 
 # Serving batch 6144 fills HBM to ~80% (8192 OOMs at 17.3/15.75 GB) and
-# gains ~6% over 4096. Train batch 1024: +6.5% over 512 on the chained
-# step (10,698 vs 10,044 samples/s) — unlocked by passing the batch as a
-# jit ARGUMENT in _make_train_chain (closure-captured device arrays are
-# embedded in the MLIR as hex literals: 292 of 293 MB at B=512, and the
-# B=1024 program hit the remote compile service's request-size limit).
-# The fix also cut the train-chain compile from ~330 s to ~40-74 s.
-# B=2048 measured SLOWER (11,375 vs ~12,000 samples/s at B=1024): the
-# kernels' grid already saturates the chip at 1024; bigger batches only
-# add HBM pressure. Re-measured after the c-major rows proposal
-# interface (which deleted the transpose glue that might have favored
-# bigger batches): 14,275 at B=2048 vs 14,211 at B=1024 — neutral
-# (+0.5%, noise), B=1024 stands.
+# gains ~6% over 4096. Train batch 1536: divisible by 6, which admits the
+# BB=6 backward cell under the widened bwd VMEM window — measured 16.4k
+# vs 15.1k samples/s at B=1024/BB=4 (+8.2%); batch size itself is neutral
+# beyond 1024 (B=2048 at BB=4 measured +0.5%, noise).
 B_SERVE = int(os.environ.get("VML_BENCH_B_SERVE", 6144))
-# Train batch 1536 (round 4): divisible by 6, which admits the BB=6
-# backward cell under the widened bwd VMEM window — measured 16.4k vs
-# 15.1k samples/s at B=1024/BB=4 (+8.2%); batch size itself is neutral
-# (B=2048 at BB=4 measured +0.5% vs 1024). Costs ~2 min of extra cold
-# Mosaic compile on the train chain (~7 vs ~5 min).
 B_TRAIN = int(os.environ.get("VML_BENCH_B_TRAIN", 1536))
+# Floor-stage batches: small enough that the packed-XLA compiles are the
+# cheap kind (11 s / 24 s measured cold), big enough to keep the chip
+# busy per dispatch.
+B_SERVE_FLOOR = int(os.environ.get("VML_BENCH_B_SERVE_FLOOR", 2048))
+B_TRAIN_FLOOR = int(os.environ.get("VML_BENCH_B_TRAIN_FLOOR", 512))
+# Secondary geometries (reference config/activitynet.yml:5-13, tacos.yml).
+B_ANET = int(os.environ.get("VML_BENCH_B_ANET", 512))
+B_TACOS = int(os.environ.get("VML_BENCH_B_TACOS", 256))
 # K = scan iters inside one jit. Each dispatched call through the tunnel
 # costs ~27 ms host-side regardless of device work, so per-step overhead
-# is ~27/K ms: at the old K_TRAIN=4 that shaved ~6.8 ms/step off the
-# reported train number (10.7k reported vs 12.0k on-chip at K=16 —
-# scripts/bench_train_breakdown.py). K only sets the scan trip count
-# (the body compiles once), so longer chains cost compile nothing.
+# is ~27/K ms. K only sets the scan trip count (the body compiles once).
 K_CHAIN = int(os.environ.get("VML_BENCH_K", 16))
 K_TRAIN = int(os.environ.get("VML_BENCH_K_TRAIN", 16))
-BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 1500))
-_T0 = time.perf_counter()
+# Pessimistic default: the r4 external kill landed at ~1010 s while the
+# bench assumed 1500 s. The driver can raise via the env.
+BUDGET_S = float(os.environ.get("VML_BENCH_BUDGET", 900))
+EMIT_MARGIN_S = float(os.environ.get("VML_BENCH_EMIT_MARGIN", 45))
+# Probe-stall watchdog: the longest a single stage may go without any
+# stdout line before the parent kills + (budget permitting) respawns
+# skipping it. 420 s > the worst measured single fused compile in a
+# usable window; a window worse than that fails every path anyway.
+STALL_S = float(os.environ.get("VML_BENCH_STALL", 420))
+_T0 = float(os.environ.get("VML_BENCH_T0", 0)) or time.perf_counter()
 
 # Peak matmul throughput for MFU context. TPU v5e: ~197 TFLOP/s bf16.
-# Override with VML_PEAK_FLOPS for other chips.
 PEAK_FLOPS = float(os.environ.get("VML_PEAK_FLOPS", 197e12))
 
 _RESULT: dict | None = None  # best-so-far, printed by the signal handler
-_PROBE_PROC = None           # fused-probe subprocess, killed on SIGTERM
+_PROCS: list = []            # probe subprocesses, killed on emit
+
+_TIMING_LOCK_PATH = os.environ.get("VML_BENCH_TIMING_LOCK",
+                                   "/tmp/vml_bench_timing.lock")
 
 
 def _emit_and_exit(signum=None, frame=None):
-    if _PROBE_PROC is not None and _PROBE_PROC.poll() is None:
-        try:
-            _PROBE_PROC.kill()
-        except Exception:
-            pass
+    for p in _PROCS:
+        if p.poll() is None:
+            with contextlib.suppress(Exception):
+                p.kill()
     if _RESULT is not None and _RESULT.get("value"):
         print(json.dumps(_RESULT), flush=True)
         os._exit(0)
@@ -115,7 +139,7 @@ def _emit_and_exit(signum=None, frame=None):
 
 
 def _progress(msg: str) -> None:
-    """Timestamped progress line on stderr (stdout carries only the JSON)."""
+    """Timestamped progress line on stderr (stdout carries only JSON)."""
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
@@ -124,9 +148,26 @@ def _remaining() -> float:
     return BUDGET_S - (time.perf_counter() - _T0)
 
 
+@contextlib.contextmanager
+def _timing_lock():
+    """Exclusive cross-process lock for device-timing sections.
+
+    The bench's stages are sequential in one process, but external device
+    users (an ad-hoc probe, a forgotten background run) must not share
+    the chip with a *measurement*, or the queue wait pollutes it."""
+    import fcntl
+
+    with open(_TIMING_LOCK_PATH, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+
+
 # ------------------------------------------------------------------ #
-# measurement helpers (imported lazily — only the probe subprocess and
-# the parent's fallback path ever touch JAX)
+# measurement helpers (imported lazily — only the probe subprocess
+# ever touches JAX; the parent stays a thin coordinator)
 # ------------------------------------------------------------------ #
 def _timed_fetch(fn, *args):
     """Best-of-3 wall time of fn(*args) with a host fetch (real completion)."""
@@ -142,18 +183,35 @@ def _timed_fetch(fn, *args):
     return best
 
 
-def _device_inputs(cfg, B: int, seed: int = 0):
-    """Synthetic serving inputs generated ON DEVICE.
+class StageSkipped(RuntimeError):
+    """Stage pre-empted: its cold compile can't fit the remaining budget."""
+
+
+def _aot(name: str, fn, args, cold_cost: float = 90.0):
+    """AOT-cached compile (utils/aot_cache.py) with a cold-budget guard:
+    if the cache misses and the remaining budget can't absorb the
+    estimated cold-compile cost plus the emit margin, skip the stage
+    instead of gambling the whole tail of the bench on one compile."""
+    from video_moment_localization_tpu.utils import aot_cache
+
+    if aot_cache.load(name) is None and _remaining() < cold_cost + 60.0:
+        raise StageSkipped(
+            f"'{name}' is cold (~{cold_cost:.0f}s est.) with only "
+            f"{_remaining():.0f}s left")
+    return aot_cache.get_or_compile(name, fn, args, log=_progress)
+
+
+def _gen_inputs(cfg, B: int, name: str, seed: int = 0):
+    """Synthetic serving inputs generated ON DEVICE (AOT-cached program).
 
     A host-side np.random draw of the B=6144 input set is ~1.7 GB that
-    must cross the tunnel (measured ~10 min of syscall-bound I/O — it
-    dominated the old bench's startup); one jitted jax.random program
-    produces the same-shaped inputs in seconds with nothing on the wire.
+    must cross the tunnel (measured ~10 min of syscall-bound I/O); one
+    jitted jax.random program produces the same-shaped inputs in seconds
+    with nothing on the wire.
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def gen(key):
         k1, k2, k3 = jax.random.split(key, 3)
         vf = jax.random.normal(k1, (B, cfg.T, cfg.input_video_dim),
@@ -169,23 +227,12 @@ def _device_inputs(cfg, B: int, seed: int = 0):
             jnp.triu(jnp.ones((cfg.L, cfg.L), jnp.float32)), (B, cfg.L, cfg.L))
         return vf, vm, qf, qm, lm, mm, sm
 
-    vf, vm, qf, qm, lm, mm, sm = gen(jax.random.PRNGKey(seed))
+    key = jax.random.PRNGKey(seed)
+    vf, vm, qf, qm, lm, mm, sm = _aot(name, gen, (key,), cold_cost=40)(key)
     return (vf, vm, qf, qm, lm, mm), sm
 
 
-def _setup(cfg):
-    import jax
-
-    from video_moment_localization_tpu.models import init_smin_params
-
-    params = init_smin_params(jax.random.PRNGKey(0), cfg)
-    arrays, sm = _device_inputs(cfg, B_SERVE)
-    return params, arrays, sm
-
-
-def _make_score_chain(cfg, use_nms: bool = False):
-    import jax
-
+def _make_score_batch(cfg, use_nms: bool = False):
     from video_moment_localization_tpu.models.smin import smin_forward_inference
     from video_moment_localization_tpu.train.metrics import (
         recall_counts,
@@ -199,7 +246,14 @@ def _make_score_chain(cfg, use_nms: bool = False):
             return recall_counts_packed(pm, ps, pe, lm, sm, use_nms=use_nms)
         return recall_counts(pm, ps, pe, mm, sm, use_nms=use_nms)
 
-    @jax.jit
+    return score_batch
+
+
+def _make_score_chain(cfg, use_nms: bool = False):
+    import jax
+
+    score_batch = _make_score_batch(cfg, use_nms=use_nms)
+
     def score_chain(params, vf, vm, qf, qm, lm, mm, sm):
         # Serial dependency: each iteration perturbs vf by a value derived
         # from the previous counts (numerically negligible, structurally
@@ -212,98 +266,105 @@ def _make_score_chain(cfg, use_nms: bool = False):
                                  length=K_CHAIN)
         return counts[-1]
 
-    return jax.jit(score_batch), score_chain
+    return score_chain
 
 
-def _measure_serving(cfg, params, arrays, sm, use_nms: bool = False):
+def _measure_serving(cfg, params, arrays, sm, B: int, aot_name: str,
+                     use_nms: bool = False, cold_cost: float = 240.0):
     import numpy as np
 
-    _, score_chain = _make_score_chain(cfg, use_nms=use_nms)
+    chain = _aot(aot_name, _make_score_chain(cfg, use_nms=use_nms),
+                 (params, *arrays, sm), cold_cost=cold_cost)
     args = (params, *arrays, sm)
-    np.asarray(score_chain(*args))  # compile + first run
-    chain_dt = _timed_fetch(score_chain, *args)
-    return K_CHAIN * B_SERVE / chain_dt, chain_dt
+    np.asarray(chain(*args))  # first run (pays any load/init latency)
+    with _timing_lock():
+        chain_dt = _timed_fetch(chain, *args)
+    return K_CHAIN * B / chain_dt, chain_dt
 
 
-def _measure_percall(cfg, params, arrays, sm, depth: int = 2, M: int = 12):
+def _measure_percall(cfg, params, arrays, sm, aot_name: str,
+                     depth: int = 2, M: int = 12):
     """Per-call WALL throughput with the serving layer's pipelining.
 
     Each call is one un-chained jitted score_batch dispatch — the pattern
     MomentLocalizer.dispatch/collect runs in production — with up to
     ``depth`` batches in flight, so the ~27 ms/call tunnel dispatch hides
-    behind device compute instead of serializing with it (round-3 review:
-    the strictly-blocking per-call loop measured 46.7k pairs/s against
-    68.8k chained — 32% lost to dispatch latency).
+    behind device compute instead of serializing with it.
     Returns (pairs/s, wall_dt for M calls).
     """
     import numpy as np
 
-    score_batch, _ = _make_score_chain(cfg)
+    score_batch = _aot(aot_name, _make_score_batch(cfg),
+                       (params, *arrays, sm), cold_cost=150)
     args = (params, *arrays, sm)
-    np.asarray(score_batch(*args))  # compile + first run
+    np.asarray(score_batch(*args))  # first run
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pend = []
-        for _i in range(M):
-            pend.append(score_batch(*args))     # async dispatch
-            if len(pend) > depth:
-                np.asarray(pend.pop(0))         # collect oldest
-        for p in pend:
-            np.asarray(p)
-        best = min(best, time.perf_counter() - t0)
+    with _timing_lock():
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pend = []
+            for _i in range(M):
+                pend.append(score_batch(*args))     # async dispatch
+                if len(pend) > depth:
+                    np.asarray(pend.pop(0))         # collect oldest
+            for p in pend:
+                np.asarray(p)
+            best = min(best, time.perf_counter() - t0)
     return M * B_SERVE / best, best
 
 
-def _make_train_chain(cfg, params):
-    """Build the K_TRAIN-chained train-step program + its args.
-
-    Train inputs/labels are generated on device too (see _device_inputs).
-    """
+def _make_train_setup(cfg, B: int, gen_name: str):
+    """Device-generated train batch + fresh params/opt_state."""
     import jax
     import jax.numpy as jnp
+    import optax
+
+    from video_moment_localization_tpu.models import init_smin_params
+
+    N = cfg.L * (cfg.L + 1) // 2
+
+    def gen(key):
+        ks = jax.random.split(key, 9)
+        vf = jax.random.normal(ks[0], (B, cfg.T, cfg.input_video_dim),
+                               jnp.float32)
+        qf = jax.random.normal(ks[1], (B, cfg.max_query_length,
+                                       cfg.word_dim), jnp.float32)
+        sm = jax.random.uniform(ks[2], (B, N), jnp.float32)
+        lab = {}
+        for i, k in enumerate(("ss", "ys", "se", "ye", "ya")):
+            v = jax.random.uniform(ks[3 + i], (B, cfg.L), jnp.float32)
+            lab[k] = v if k in ("ss", "se") else (v > 0.5).astype(jnp.float32)
+        return vf, qf, sm, lab
+
+    key = jax.random.PRNGKey(1)
+    tvf, tqf, tsm, lab = _aot(gen_name, gen, (key,), cold_cost=40)(key)
+    tvm = jnp.ones((B, cfg.T, 1), jnp.float32)
+    tqm = jnp.ones((B, cfg.max_query_length, 1), jnp.float32)
+    tlm = jnp.ones((B, cfg.L), jnp.float32)
+    batch = {
+        "video_features": tvf, "video_mask": tvm, "query_features": tqf,
+        "query_mask": tqm, "length_mask": tlm,
+        "sm": tsm, "ym": (tsm > 0.5).astype(jnp.float32),
+        "sample_mask": jnp.ones(B, jnp.float32),
+        **lab,
+    }
+    params = init_smin_params(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+    return optimizer, params, opt_state, batch
+
+
+def _make_train_chain(cfg, optimizer):
+    import jax
     import optax
 
     from video_moment_localization_tpu.models import smin_forward
     from video_moment_localization_tpu.train.loss import smin_loss
 
-    N = cfg.L * (cfg.L + 1) // 2
-
-    @jax.jit
-    def gen(key):
-        ks = jax.random.split(key, 9)
-        vf = jax.random.normal(ks[0], (B_TRAIN, cfg.T, cfg.input_video_dim),
-                               jnp.float32)
-        qf = jax.random.normal(ks[1], (B_TRAIN, cfg.max_query_length,
-                                       cfg.word_dim), jnp.float32)
-        sm = jax.random.uniform(ks[2], (B_TRAIN, N), jnp.float32)
-        lab = {}
-        for i, k in enumerate(("ss", "ys", "se", "ye", "ya")):
-            v = jax.random.uniform(ks[3 + i], (B_TRAIN, cfg.L), jnp.float32)
-            lab[k] = v if k in ("ss", "se") else (v > 0.5).astype(jnp.float32)
-        return vf, qf, sm, lab
-
-    tvf, tqf, tsm, lab = gen(jax.random.PRNGKey(1))
-    tvm = jnp.ones((B_TRAIN, cfg.T, 1), jnp.float32)
-    tqm = jnp.ones((B_TRAIN, cfg.max_query_length, 1), jnp.float32)
-    tlm = jnp.ones((B_TRAIN, cfg.L), jnp.float32)
-    batch = {
-        "video_features": tvf, "video_mask": tvm, "query_features": tqf,
-        "query_mask": tqm, "length_mask": tlm,
-        "sm": tsm, "ym": (tsm > 0.5).astype(jnp.float32),
-        "sample_mask": jnp.ones(B_TRAIN, jnp.float32),
-        **lab,
-    }
-
-    optimizer = optax.adam(5e-4)
-    opt_state = optimizer.init(params)
-
     # The batch MUST be a jit argument, not a closure capture: closed-over
     # device arrays are baked into the lowered program as dense hex
-    # literals — measured 292 MB of a 293 MB MLIR at B=512 (vf alone is
-    # 268 MB of hex text), which is what the remote compile service's
-    # request-size limit rejected at B=1024 (HTTP 413).
-    @jax.jit
+    # literals (measured 292 MB of a 293 MB MLIR at B=512), which the
+    # remote compile service's request-size limit rejects.
     def train_chain(p, o, b):
         def body(carry, _):
             p_, o_ = carry
@@ -322,98 +383,204 @@ def _make_train_chain(cfg, params):
         (p, o), losses = jax.lax.scan(body, (p, o), None, length=K_TRAIN)
         return losses[-1]
 
-    return train_chain, (params, opt_state, batch)
+    return train_chain
 
 
-def _measure_train(cfg, params):
-    """K_TRAIN-chained train-step device throughput (samples/s) at B_TRAIN."""
+def _measure_train(cfg, B: int, gen_name: str, aot_name: str,
+                   cold_cost: float = 300.0):
+    """K_TRAIN-chained train-step device throughput (samples/s) at B."""
     import numpy as np
 
-    train_chain, targs = _make_train_chain(cfg, params)
-    np.asarray(train_chain(*targs))  # compile
-    train_dt = _timed_fetch(train_chain, *targs)
-    return K_TRAIN * B_TRAIN / train_dt, train_dt
+    optimizer, params, opt_state, batch = _make_train_setup(cfg, B, gen_name)
+    targs = (params, opt_state, batch)
+    chain = _aot(aot_name, _make_train_chain(cfg, optimizer), targs,
+                 cold_cost=cold_cost)
+    np.asarray(chain(*targs))  # first run
+    with _timing_lock():
+        train_dt = _timed_fetch(chain, *targs)
+    return K_TRAIN * B / train_dt, train_dt
 
 
-# ------------------------------------------------------------------ #
-# probe subprocess: fused-path measurements, one JSON line per stage
-# ------------------------------------------------------------------ #
-def _fused_probe() -> None:
-    """Measure the fused-kernel serving, training, and NMS-serving paths.
-
-    Runs in a subprocess so a hung Mosaic/remote compile is killable by
-    the parent; prints one JSON line per completed measurement so partial
-    results survive a mid-probe kill. Value-ordered: serving first (the
-    headline), then train, then the soft-NMS variant.
-    """
-    # Persistent compile cache: no cross-process hits in this environment
-    # (session-salted keys), but same-process re-runs and any future fix
-    # benefit; harmless otherwise.
+def _setup_serving(cfg, B: int, gen_name: str):
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from video_moment_localization_tpu.models import init_smin_params
 
-    import numpy as np  # noqa: F401  (used via _timed_fetch)
+    params = init_smin_params(jax.random.PRNGKey(0), cfg)
+    arrays, sm = _gen_inputs(cfg, B, gen_name)
+    return params, arrays, sm
+
+
+def _anet_cfg():
+    import dataclasses
 
     from __graft_entry__ import _charades_cfg
 
-    cfg = _charades_cfg()  # fused_smi/fused_smi_train=True defaults
-    _progress("probe: setup (device-side inputs)")
-    params, arrays, sm = _setup(cfg)
+    return dataclasses.replace(_charades_cfg(), T=128, L=64,
+                               max_query_length=20, input_video_dim=500)
 
-    # Each stage is fault-isolated: a failed compile (e.g. the remote
-    # compile server's request-size limit) must not kill later stages.
-    _progress("probe: compiling + timing fused serving chain")
-    pairs, chain_dt = _measure_serving(cfg, params, arrays, sm)
-    print(json.dumps({"stage": "serving", "onchip_pairs": pairs,
-                      "chain_dt": chain_dt}), flush=True)
-    _progress(f"probe: serving {pairs:.0f} pairs/s")
 
-    try:
-        _progress("probe: compiling + timing fused train chain")
-        train_sps, train_dt = _measure_train(cfg, params)
-        print(json.dumps({"stage": "train", "train_sps": train_sps,
-                          "train_dt": train_dt}), flush=True)
-        _progress(f"probe: train {train_sps:.0f} samples/s")
-    except Exception as e:
-        _progress(f"probe: train stage failed: {e!r}")
+def _tacos_cfg():
+    import dataclasses
 
-    try:
-        _progress("probe: compiling + timing pipelined per-call serving")
-        pc_pairs, _ = _measure_percall(cfg, params, arrays, sm)
-        print(json.dumps({"stage": "percall", "percall_pairs": pc_pairs}),
-              flush=True)
-        _progress(f"probe: per-call wall {pc_pairs:.0f} pairs/s")
-    except Exception as e:
-        _progress(f"probe: percall stage failed: {e!r}")
+    from __graft_entry__ import _charades_cfg
 
-    try:
-        _progress("probe: compiling + timing soft-NMS serving chain")
-        nms_pairs, _ = _measure_serving(cfg, params, arrays, sm, use_nms=True)
-        print(json.dumps({"stage": "nms", "nms_pairs": nms_pairs}), flush=True)
-        _progress(f"probe: nms serving {nms_pairs:.0f} pairs/s")
-    except Exception as e:
-        _progress(f"probe: nms stage failed: {e!r}")
+    return dataclasses.replace(_charades_cfg(), T=128, L=32,
+                               max_query_length=14, input_video_dim=4096)
+
+
+# ------------------------------------------------------------------ #
+# probe subprocess: sequential stages, one JSON line per completed stage
+# ------------------------------------------------------------------ #
+def _probe(skip: set[str]) -> None:
+    """All stages in one process (one attach), floor first.
+
+    Emits ``{"start": <stage>}`` before and ``{"stage": <stage>, ...}``
+    after each stage; the parent banks result lines as they land, so a
+    hang or crash in stage N can never lose stages 1..N-1."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _charades_cfg
+
+    t_attach = time.perf_counter()
+    np.asarray(jnp.ones((8, 8)).sum())  # device attach (one-time latency)
+    _progress(f"probe: device attached in "
+              f"{time.perf_counter() - t_attach:.1f}s")
+
+    fused_cfg = _charades_cfg()  # fused_smi/fused_smi_train=True defaults
+    floor_cfg = dataclasses.replace(fused_cfg, fused_smi=False,
+                                    fused_smi_train=False, use_pallas=False)
+    setups: dict = {}
+
+    def floor_serving():
+        p, a, s = setups["floor"] = _setup_serving(
+            floor_cfg, B_SERVE_FLOOR, f"gen_serve_b{B_SERVE_FLOOR}")
+        pairs, dt = _measure_serving(
+            floor_cfg, p, a, s, B_SERVE_FLOOR,
+            f"xla_serve_chain_b{B_SERVE_FLOOR}_k{K_CHAIN}", cold_cost=90)
+        return {"onchip_pairs": pairs, "chain_dt": dt, "batch": B_SERVE_FLOOR}
+
+    def floor_train():
+        sps, dt = _measure_train(
+            floor_cfg, B_TRAIN_FLOOR, f"gen_train_b{B_TRAIN_FLOOR}",
+            f"xla_train_chain_b{B_TRAIN_FLOOR}_k{K_TRAIN}", cold_cost=120)
+        return {"train_sps": sps, "train_dt": dt, "batch": B_TRAIN_FLOOR}
+
+    def _fused_setup():
+        if "fused" not in setups:
+            setups["fused"] = _setup_serving(fused_cfg, B_SERVE,
+                                             f"gen_serve_b{B_SERVE}")
+        return setups["fused"]
+
+    def serving():
+        p, a, s = _fused_setup()
+        pairs, dt = _measure_serving(
+            fused_cfg, p, a, s, B_SERVE,
+            f"fused_serve_chain_b{B_SERVE}_k{K_CHAIN}", cold_cost=260)
+        return {"onchip_pairs": pairs, "chain_dt": dt, "batch": B_SERVE}
+
+    def train():
+        sps, dt = _measure_train(
+            fused_cfg, B_TRAIN, f"gen_train_b{B_TRAIN}",
+            f"fused_train_chain_b{B_TRAIN}_k{K_TRAIN}", cold_cost=320)
+        return {"train_sps": sps, "train_dt": dt, "batch": B_TRAIN}
+
+    def percall():
+        p, a, s = _fused_setup()
+        return {"percall_pairs": _measure_percall(
+            fused_cfg, p, a, s, f"fused_score_batch_b{B_SERVE}")[0]}
+
+    def nms():
+        p, a, s = _fused_setup()
+        return {"nms_pairs": _measure_serving(
+            fused_cfg, p, a, s, B_SERVE,
+            f"fused_serve_nms_chain_b{B_SERVE}_k{K_CHAIN}",
+            use_nms=True, cold_cost=260)[0]}
+
+    def anet_serving():
+        acfg = _anet_cfg()
+        p, a, s = _setup_serving(acfg, B_ANET, f"gen_anet_b{B_ANET}")
+        pairs, dt = _measure_serving(
+            acfg, p, a, s, B_ANET,
+            f"anet_serve_chain_b{B_ANET}_k{K_CHAIN}", cold_cost=120)
+        return {"anet_pairs": pairs, "chain_dt": dt, "batch": B_ANET}
+
+    def tacos_train():
+        tcfg = _tacos_cfg()
+        sps, dt = _measure_train(
+            tcfg, B_TACOS, f"gen_tacos_train_b{B_TACOS}",
+            f"tacos_train_chain_b{B_TACOS}_k{K_TRAIN}", cold_cost=160)
+        return {"tacos_sps": sps, "train_dt": dt, "batch": B_TACOS}
+
+    # Strict value order: the two floors are the lifeline, fused serving
+    # is the headline upgrade, fused train the second, then the extras.
+    stages = [
+        ("floor_serving", floor_serving),
+        ("floor_train", floor_train),
+        ("serving", serving),
+        ("train", train),
+        ("percall", percall),
+        ("nms", nms),
+        ("anet_serving", anet_serving),
+        ("tacos_train", tacos_train),
+    ]
+    only = os.environ.get("VML_BENCH_STAGES")
+    if only:
+        wanted = {s.strip() for s in only.split(",")}
+        stages = [s for s in stages if s[0] in wanted]
+    for name, fn in stages:
+        if name in skip:
+            _progress(f"probe: skipping '{name}' (parent said so)")
+            continue
+        if _remaining() < 40:
+            _progress(f"probe: {_remaining():.0f}s left — stopping before "
+                      f"'{name}'")
+            break
+        _progress(f"probe: stage '{name}'")
+        print(json.dumps({"start": name}), flush=True)
+        try:
+            payload = fn()
+            print(json.dumps({"stage": name, **payload}), flush=True)
+        except StageSkipped as e:
+            _progress(f"probe: stage '{name}' skipped: {e}")
+        except Exception as e:  # noqa: BLE001 - stage isolation by design
+            _progress(f"probe: stage '{name}' failed: {e!r}")
+    _progress("probe: done")
 
 
 # ------------------------------------------------------------------ #
 # parent: JAX-free coordinator
 # ------------------------------------------------------------------ #
-def _reader(pipe, lines: list, lock: threading.Lock):
+def _reader(pipe, lines: list, lock: threading.Lock, last_activity: list):
     for ln in iter(pipe.readline, ""):
         ln = ln.strip()
         if ln.startswith("{"):
             with lock:
                 lines.append(ln)
+                last_activity[0] = time.perf_counter()
     pipe.close()
 
 
+def _spawn(skip: set[str]):
+    env = dict(os.environ)
+    env["VML_BENCH_T0"] = str(_T0)
+    argv = [sys.executable, os.path.abspath(__file__), "--probe"]
+    if skip:
+        argv += ["--skip", ",".join(sorted(skip))]
+    p = subprocess.Popen(
+        argv, stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    _PROCS.append(p)
+    return p
+
+
 def main() -> None:
-    global _RESULT, _PROBE_PROC
+    global _RESULT
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
 
@@ -425,17 +592,16 @@ def main() -> None:
     )
 
     cfg = _charades_cfg()
-    serve_flops = smin_forward_flops(cfg, B_SERVE)
-    train_flops = smin_train_step_flops(cfg, B_TRAIN)
 
     note = ("on-chip value from a K={k} in-jit chained scan (no transport); "
             "random weights + synthetic on-device inputs (throughput only, "
             "not accuracy); primary serving number is NMS-OFF like the "
             "reference (utils.py:14), serving_nms_pairs_per_sec adds "
             "soft-NMS; baseline torch-CPU uses batch 64 (compute-bound, "
-            "batch-insensitive) vs serving batch {bs} here; MFU vs "
-            "{pk:.0f} TFLOP/s peak (bf16)").format(
-                k=K_CHAIN, bs=B_SERVE, pk=PEAK_FLOPS / 1e12)
+            "batch-insensitive); MFU vs {pk:.0f} TFLOP/s peak (bf16); "
+            "programs AOT-cached under bench_cache/ "
+            "(see utils/aot_cache.py)").format(k=K_CHAIN,
+                                               pk=PEAK_FLOPS / 1e12)
 
     _RESULT = {
         "metric": "query_video_pairs_scored_per_sec_per_chip",
@@ -443,154 +609,131 @@ def main() -> None:
         "unit": "pairs/s",
         "vs_baseline": None,
         "serving_mfu_pct": None,
-        "serving_batch": B_SERVE,
-        "train_batch": B_TRAIN,
+        "serving_batch": None,
+        "train_batch": None,
         "serving_path": None,
         "note": note,
         "train_samples_per_sec_per_chip": None,
+        "train_mfu_pct": None,
         "train_path": None,
         "serving_nms_pairs_per_sec": None,
         "serving_percall_pairs_per_sec": None,
         "percall_vs_chained_pct": None,
+        "activitynet_pairs_per_sec": None,
+        "tacos_train_samples_per_sec": None,
     }
 
-    def apply_probe_line(ln: str) -> None:
+    def apply_line(ln: str) -> None:
         d = json.loads(ln)
-        if d.get("stage") == "serving":
+        st = d.get("stage")
+        if st is None:
+            return  # {"start": ...} marker — activity only
+        if st == "serving" or (st == "floor_serving"
+                               and _RESULT["serving_path"] is None):
+            B = d["batch"]
             _RESULT.update({
                 "value": round(d["onchip_pairs"], 2),
                 "vs_baseline": round(
                     d["onchip_pairs"] / BASELINE_PAIRS_PER_SEC, 2),
                 "serving_mfu_pct": round(
-                    100 * serve_flops * K_CHAIN / d["chain_dt"] / PEAK_FLOPS,
-                    2),
-                "serving_path": "fused_smi_stack",
+                    100 * smin_forward_flops(cfg, B) * K_CHAIN
+                    / d["chain_dt"] / PEAK_FLOPS, 2),
+                "serving_batch": B,
+                "serving_path": ("fused_smi_stack" if st == "serving"
+                                 else f"xla_floor(B={B})"),
             })
-        elif d.get("stage") == "train":
+        elif st == "train" or (st == "floor_train"
+                               and _RESULT["train_path"] is None):
+            B = d["batch"]
             _RESULT.update({
                 "train_samples_per_sec_per_chip": round(d["train_sps"], 2),
-                "train_path": "fused_smi_train",
+                "train_batch": B,
+                "train_path": ("fused_smi_train" if st == "train"
+                               else f"xla_floor(B={B})"),
                 "train_mfu_pct": round(
-                    100 * train_flops * K_TRAIN / d["train_dt"] / PEAK_FLOPS,
-                    2),
+                    100 * smin_train_step_flops(cfg, B) * K_TRAIN
+                    / d["train_dt"] / PEAK_FLOPS, 2),
             })
-        elif d.get("stage") == "percall":
+        elif st == "percall":
             _RESULT["serving_percall_pairs_per_sec"] = round(
                 d["percall_pairs"], 2)
             if _RESULT["value"]:
                 _RESULT["percall_vs_chained_pct"] = round(
                     100 * d["percall_pairs"] / _RESULT["value"], 1)
-        elif d.get("stage") == "nms":
+        elif st == "nms":
             _RESULT["serving_nms_pairs_per_sec"] = round(d["nms_pairs"], 2)
+        elif st == "anet_serving":
+            _RESULT["activitynet_pairs_per_sec"] = round(d["anet_pairs"], 2)
+        elif st == "tacos_train":
+            _RESULT["tacos_train_samples_per_sec"] = round(d["tacos_sps"], 2)
 
-    # ---- phase A: fused probe, streamed under per-stage deadlines ---- #
-    probe_enabled = float(os.environ.get("VML_BENCH_FUSED_TIMEOUT", 1)) > 0
+    # ---- one sequential probe; watchdog kills + respawns on stall ---- #
     lines: list[str] = []
-    applied = 0
-    if probe_enabled:
-        _progress("spawning fused probe")
-        _PROBE_PROC = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--fused-probe"],
-            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        lock = threading.Lock()
-        t = threading.Thread(target=_reader,
-                             args=(_PROBE_PROC.stdout, lines, lock),
-                             daemon=True)
-        t.start()
+    lock = threading.Lock()
+    last_activity = [time.perf_counter()]
+    skip: set[str] = set()
+    _progress(f"budget {BUDGET_S:.0f}s, emit at {BUDGET_S - EMIT_MARGIN_S:.0f}s"
+              f", stall watchdog {STALL_S:.0f}s")
+    proc = _spawn(skip)
+    thread = threading.Thread(target=_reader,
+                              args=(proc.stdout, lines, lock, last_activity),
+                              daemon=True)
+    thread.start()
 
-        # Serving must land by ~65% of budget; the rest by ~90% — the
-        # leftovers cover the parent's XLA fallback when the probe dies
-        # early, or just end the bench sooner when it succeeds. (Raised
-        # from 0.55/0.85 in round 4: a measured-cold serving stage took
-        # 674 s — the remote compile service runs ~1.6x slower some days
-        # — leaving only 116 s of margin against the old 825 s deadline;
-        # the XLA fallback needs ~90 s, which 10% of budget still covers.)
-        serve_deadline = _T0 + 0.65 * BUDGET_S
-        rest_deadline = _T0 + 0.90 * BUDGET_S
-        while _PROBE_PROC.poll() is None:
-            now = time.perf_counter()
-            with lock:
-                have = len(lines)
-            have_serving = have >= 1
-            if not have_serving and now > serve_deadline:
-                _progress("probe missed the serving deadline — killing")
-                _PROBE_PROC.kill()
-                break
-            if now > rest_deadline:
-                _progress("probe past the full deadline — killing")
-                _PROBE_PROC.kill()
-                break
-            time.sleep(1.0)
-        t.join(timeout=10)
+    emit_deadline = _T0 + max(BUDGET_S - EMIT_MARGIN_S, 60.0)
+    applied = 0
+    started: list[str] = []  # stage-start markers, in order
+    done: set[str] = set()
+    while True:
         with lock:
             for ln in lines[applied:]:
-                apply_probe_line(ln)
-                applied = len(lines)
-        _progress(f"probe done: {len(lines)} stage(s) measured, "
-                  f"serving_path={_RESULT['serving_path']}")
-
-    # ---- phase B: XLA fallbacks for anything the probe missed ---- #
-    need_serving = _RESULT["value"] is None
-    need_train = _RESULT["train_samples_per_sec_per_chip"] is None
-    if need_serving or (need_train and _remaining() > 420):
-        _progress("fallback: importing JAX in the parent")
-        import dataclasses
-
-        xla_cfg = dataclasses.replace(cfg, fused_smi=False,
-                                      fused_smi_train=False)
-        # Stage-isolated fallbacks: one failed compile must not skip the
-        # rest (the round-3 rehearsal lost its NMS number to a train-chain
-        # HTTP 413 sharing this block).
-        params = arrays = sm = None
-        try:
-            params, arrays, sm = _setup(xla_cfg)
-        except Exception as e:
-            _progress(f"fallback setup failed: {e!r}")
-        if params is not None and need_serving:
-            try:
-                _progress("fallback: XLA serving chain")
-                pairs, chain_dt = _measure_serving(xla_cfg, params, arrays, sm)
-                _RESULT.update({
-                    "value": round(pairs, 2),
-                    "vs_baseline": round(pairs / BASELINE_PAIRS_PER_SEC, 2),
-                    "serving_mfu_pct": round(
-                        100 * serve_flops * K_CHAIN / chain_dt / PEAK_FLOPS,
-                        2),
-                    "serving_path": "xla (fused probe incomplete)",
-                })
-            except Exception as e:
-                _progress(f"fallback serving failed: {e!r}")
-        if (params is not None
-                and _RESULT["train_samples_per_sec_per_chip"] is None
-                and _remaining() > 300):
-            try:
-                _progress("fallback: XLA train chain")
-                sps, train_dt = _measure_train(xla_cfg, params)
-                _RESULT.update({
-                    "train_samples_per_sec_per_chip": round(sps, 2),
-                    "train_path": "xla (fused probe incomplete)",
-                    "train_mfu_pct": round(
-                        100 * train_flops * K_TRAIN / train_dt / PEAK_FLOPS,
-                        2),
-                })
-            except Exception as e:
-                _progress(f"fallback train failed: {e!r}")
-        if (params is not None
-                and _RESULT["serving_nms_pairs_per_sec"] is None
-                and _remaining() > 300):
-            try:
-                _progress("fallback: XLA soft-NMS serving chain")
-                nms_pairs, _ = _measure_serving(xla_cfg, params, arrays, sm,
-                                                use_nms=True)
-                _RESULT["serving_nms_pairs_per_sec"] = round(nms_pairs, 2)
-            except Exception as e:
-                _progress(f"fallback nms failed: {e!r}")
+                d = json.loads(ln)
+                if d.get("start"):
+                    started.append(d["start"])
+                elif d.get("stage"):
+                    done.add(d["stage"])
+                apply_line(ln)
+            applied = len(lines)
+            stalled_for = time.perf_counter() - last_activity[0]
+        if proc.poll() is not None:
+            _progress("probe exited")
+            break
+        if time.perf_counter() > emit_deadline:
+            _progress("emit deadline reached — killing probe, emitting "
+                      "best-so-far")
+            with contextlib.suppress(Exception):
+                proc.kill()
+            break
+        if stalled_for > STALL_S:
+            hung = next((s for s in reversed(started) if s not in done), None)
+            _progress(f"probe stalled {stalled_for:.0f}s in stage "
+                      f"'{hung}' — killing")
+            with contextlib.suppress(Exception):
+                proc.kill()
+            proc.wait()
+            # A respawn pays the device attach again (~130-300 s); only
+            # worth it with real budget left.
+            if hung and _remaining() > 380:
+                skip |= done | {hung}
+                _progress(f"respawning probe, skipping {sorted(skip)}")
+                proc = _spawn(skip)
+                thread = threading.Thread(
+                    target=_reader,
+                    args=(proc.stdout, lines, lock, last_activity),
+                    daemon=True)
+                thread.start()
+                with lock:
+                    last_activity[0] = time.perf_counter()
+            else:
+                break
+        time.sleep(1.0)
+    thread.join(timeout=10)
+    with lock:
+        for ln in lines[applied:]:
+            apply_line(ln)
 
     if _RESULT["train_path"] is None:
-        _RESULT["train_path"] = "none (no budget left)"
-
+        _RESULT["train_path"] = "none (no stage landed in budget)"
     if _RESULT["value"] is None:
         _progress("no serving measurement landed — exiting nonzero")
         sys.exit(1)
@@ -598,7 +741,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--fused-probe" in sys.argv:
-        _fused_probe()
+    if "--probe" in sys.argv:
+        skip_arg = ""
+        if "--skip" in sys.argv:
+            skip_arg = sys.argv[sys.argv.index("--skip") + 1]
+        _probe({s for s in skip_arg.split(",") if s})
     else:
         main()
