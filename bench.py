@@ -47,8 +47,12 @@ were compile/latency lotteries the design must survive):
    external kill landed at ~1010 s while the bench assumed 1500 s. The
    parent emits best-so-far JSON at budget-45 s unconditionally, earlier
    when the probe finishes, and on SIGTERM/SIGINT. If the probe goes
-   ``VML_BENCH_STALL`` (420 s) without emitting a line, the parent kills
-   it and — budget permitting — respawns it skipping the hung stage.
+   ``VML_BENCH_STALL`` (420 s; the one-time device attach gets a longer
+   ``VML_BENCH_ATTACH_STALL`` leash of 660 s) without emitting a line,
+   the parent kills + respawns it skipping the hung stage — but only
+   while a respawn can still beat the emit deadline; after that it lets
+   the probe ride (a late-returning compile still banks stages, a kill
+   forfeits them). A crashed probe is respawned under the same rules.
 
 Hard-won environment facts (docs/ARCHITECTURE.md "axon quirks") that
 shape the above: the host has ONE cpu core; the XLA *compilation cache*
@@ -115,6 +119,13 @@ EMIT_MARGIN_S = float(os.environ.get("VML_BENCH_EMIT_MARGIN", 45))
 # skipping it. 420 s > the worst measured single fused compile in a
 # usable window; a window worse than that fails every path anyway.
 STALL_S = float(os.environ.get("VML_BENCH_STALL", 420))
+# The one-time device attach gets a longer leash: measured 30-420+ s
+# depending on the window, and killing a slowly-attaching probe is pure
+# loss (the respawn re-pays the attach in the same window, while the
+# AOT-cached stages after it finish in ~130 s warm). Rehearsed 2026-08-20:
+# a 420 s watchdog killed a healthy probe mid-attach at 425 s and exited
+# rc=1 with 475 s of budget unused.
+ATTACH_STALL_S = float(os.environ.get("VML_BENCH_ATTACH_STALL", 660))
 _T0 = float(os.environ.get("VML_BENCH_T0", 0)) or time.perf_counter()
 
 # Peak matmul throughput for MFU context. TPU v5e: ~197 TFLOP/s bf16.
@@ -441,13 +452,28 @@ def _probe(skip: set[str]) -> None:
     import dataclasses
 
     import jax
+
+    # CPU rehearsal hook (the axon TPU plugin ignores JAX_PLATFORMS, so a
+    # plain env var cannot force CPU — same trick as tests/conftest.py).
+    platform = os.environ.get("VML_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     import jax.numpy as jnp
     import numpy as np
 
     from __graft_entry__ import _charades_cfg
 
     t_attach = time.perf_counter()
+    # The attach is announced on stdout so the parent can give it a longer
+    # leash than in-stage stalls: measured windows range 30 s to 420+ s for
+    # this first execution, and killing a slowly-attaching probe is pure
+    # loss (the respawn re-pays the attach in the same window, while the
+    # AOT-cached stages after it need only ~130 s warm).
+    print(json.dumps({"start": "attach"}), flush=True)
     np.asarray(jnp.ones((8, 8)).sum())  # device attach (one-time latency)
+    print(json.dumps({"stage": "attach",
+                      "dt": time.perf_counter() - t_attach}), flush=True)
     _progress(f"probe: device attached in "
               f"{time.perf_counter() - t_attach:.1f}s")
 
@@ -684,6 +710,27 @@ def main() -> None:
     applied = 0
     started: list[str] = []  # stage-start markers, in order
     done: set[str] = set()
+    spawns = 1  # respawn backstop: a fast-crashing probe must not loop
+    riding = False
+
+    def respawn() -> bool:
+        """Kill + respawn the probe skipping completed stages. A respawn
+        pays the device attach again; only worth it with real budget."""
+        nonlocal proc, thread, spawns
+        if _remaining() <= 380 or spawns >= 3:
+            return False
+        spawns += 1
+        skip.update(done - {"attach"})
+        _progress(f"respawning probe ({spawns}), skipping {sorted(skip)}")
+        proc = _spawn(skip)
+        thread = threading.Thread(
+            target=_reader, args=(proc.stdout, lines, lock, last_activity),
+            daemon=True)
+        thread.start()
+        with lock:
+            last_activity[0] = time.perf_counter()
+        return True
+
     while True:
         with lock:
             for ln in lines[applied:]:
@@ -695,37 +742,40 @@ def main() -> None:
                 apply_line(ln)
             applied = len(lines)
             stalled_for = time.perf_counter() - last_activity[0]
+        hung = next((s for s in reversed(started) if s not in done), None)
         if proc.poll() is not None:
-            _progress("probe exited")
-            break
+            rc = proc.returncode
+            _progress(f"probe exited rc={rc}")
+            # A crash (signal/exception) with stages unfinished is worth
+            # one more attempt — e.g. a transient device error at attach.
+            if rc == 0 or not respawn():
+                break
+            continue
         if time.perf_counter() > emit_deadline:
             _progress("emit deadline reached — killing probe, emitting "
                       "best-so-far")
             with contextlib.suppress(Exception):
                 proc.kill()
             break
-        if stalled_for > STALL_S:
-            hung = next((s for s in reversed(started) if s not in done), None)
-            _progress(f"probe stalled {stalled_for:.0f}s in stage "
-                      f"'{hung}' — killing")
-            with contextlib.suppress(Exception):
-                proc.kill()
-            proc.wait()
-            # A respawn pays the device attach again (~130-300 s); only
-            # worth it with real budget left.
-            if hung and _remaining() > 380:
-                skip |= done | {hung}
-                _progress(f"respawning probe, skipping {sorted(skip)}")
-                proc = _spawn(skip)
-                thread = threading.Thread(
-                    target=_reader,
-                    args=(proc.stdout, lines, lock, last_activity),
-                    daemon=True)
-                thread.start()
-                with lock:
-                    last_activity[0] = time.perf_counter()
-            else:
-                break
+        leash = ATTACH_STALL_S if hung == "attach" else STALL_S
+        if stalled_for > leash:
+            if _remaining() > 380 and spawns < 3:
+                _progress(f"probe stalled {stalled_for:.0f}s in stage "
+                          f"'{hung}' — killing + respawning")
+                with contextlib.suppress(Exception):
+                    proc.kill()
+                proc.wait()
+                if hung and hung != "attach":
+                    skip.add(hung)
+                respawn()
+            elif not riding:
+                # Too late for a respawn to beat the emit deadline; a kill
+                # would only forfeit the chance that the slow attach or
+                # compile still returns — let the probe ride.
+                riding = True
+                _progress(f"probe stalled {stalled_for:.0f}s in stage "
+                          f"'{hung}' — no respawn budget, riding to the "
+                          f"emit deadline")
         time.sleep(1.0)
     thread.join(timeout=10)
     with lock:
