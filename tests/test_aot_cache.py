@@ -69,6 +69,19 @@ def test_fingerprint_mismatch_is_a_miss(cache_dir):
     assert aot_cache.load("prog") is None  # silent miss, not an error
 
 
+def test_code_change_is_a_miss(cache_dir, monkeypatch):
+    """A persisted executable is a frozen build of the compute-path
+    sources; any edit to them must invalidate it (else a kernel change
+    would silently keep benchmarking the old binary)."""
+    args = _args()
+    aot_cache.get_or_compile("prog", _fn, args)
+    if not (cache_dir / "prog.aot").exists():
+        pytest.skip("executable serialization unsupported on this backend")
+    assert aot_cache.load("prog") is not None
+    monkeypatch.setattr(aot_cache, "_code_hash_cache", ["deadbeef"])
+    assert aot_cache.load("prog") is None  # silent miss, recompile path
+
+
 def test_corrupt_payload_is_a_miss(cache_dir):
     os.makedirs(cache_dir, exist_ok=True)
     with open(cache_dir / "bad.aot", "wb") as f:

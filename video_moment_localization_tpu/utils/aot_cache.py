@@ -51,6 +51,35 @@ def _cache_dir() -> str | None:
         os.path.dirname(os.path.abspath(__file__)))), "bench_cache")
 
 
+_code_hash_cache: list = []
+
+
+def code_hash() -> str:
+    """Hash of every compute-path source file that can shape a compiled
+    program. A serialized executable is a *frozen build* of this code: if
+    the fingerprint did not pin it, editing a kernel would silently keep
+    benchmarking the old binary. Any source change invalidates the cache
+    (one cold rebuild re-persists current code)."""
+    if _code_hash_cache:
+        return _code_hash_cache[0]
+    import hashlib
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    files = []
+    for sub in ("models", "ops", "train", "parallel"):
+        d = os.path.join(pkg, sub)
+        files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                  if f.endswith(".py")]
+    files.append(os.path.join(pkg, "config.py"))
+    for path in files:
+        h.update(path.split(os.sep)[-1].encode())
+        with open(path, "rb") as f:
+            h.update(f.read())
+    _code_hash_cache.append(h.hexdigest()[:16])
+    return _code_hash_cache[0]
+
+
 def fingerprint() -> dict:
     """Environment identity a serialized executable is only valid under."""
     import jax
@@ -63,6 +92,7 @@ def fingerprint() -> dict:
         "device_kind": dev.device_kind,
         "platform": dev.platform,
         "num_devices": jax.device_count(),
+        "code": code_hash(),
     }
 
 
