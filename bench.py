@@ -449,6 +449,18 @@ def _tacos_cfg():
 # ------------------------------------------------------------------ #
 # probe subprocess: sequential stages, one JSON line per completed stage
 # ------------------------------------------------------------------ #
+def _redirect_rehearsal_cache(platform: str) -> None:
+    """Point the AOT executable cache at a scratch dir for non-TPU
+    rehearsals. Entries are keyed by NAME, so a CPU-compiled
+    'gen_serve_b2048' would clobber the committed TPU binary the
+    driver's run depends on (fingerprint mismatch -> cold compile — the
+    exact failure the cache exists to prevent). An explicit
+    ``VML_AOT_CACHE`` (including ``off``) is respected."""
+    os.environ.setdefault(
+        "VML_AOT_CACHE",
+        os.path.join(tempfile.gettempdir(), f"vml_aot_{platform}"))
+
+
 def _probe(skip: set[str]) -> None:
     """All stages in one process (one attach), floor first.
 
@@ -464,14 +476,7 @@ def _probe(skip: set[str]) -> None:
     platform = os.environ.get("VML_BENCH_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-        # Rehearsal on a non-TPU platform must not write into the
-        # committed TPU executable cache: entries are keyed by NAME, so a
-        # CPU-compiled 'gen_serve_b2048' would clobber the TPU binary the
-        # driver's run depends on (fingerprint mismatch -> cold compile —
-        # the exact failure the cache exists to prevent).
-        os.environ.setdefault(
-            "VML_AOT_CACHE",
-            os.path.join(tempfile.gettempdir(), f"vml_aot_{platform}"))
+        _redirect_rehearsal_cache(platform)
 
     import jax.numpy as jnp
     import numpy as np

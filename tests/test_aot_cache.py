@@ -104,3 +104,36 @@ def test_prejitted_callable_accepted(cache_dir):
     compiled = aot_cache.get_or_compile("jitted", jax.jit(_fn), args)
     out = compiled(*args)
     assert np.asarray(out["s"]).shape == ()
+
+
+def test_bench_rehearsal_redirects_cache_off_repo(monkeypatch, tmp_path):
+    """A non-TPU bench rehearsal must never write into the committed
+    bench_cache/ — entries are keyed by name, so a CPU-compiled entry
+    would clobber the TPU binary the driver's bench depends on (this
+    happened once: a CPU rehearsal overwrote two committed executables,
+    forcing the real run cold until restored)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    repo_default = aot_cache._cache_dir.__wrapped__() if hasattr(
+        aot_cache._cache_dir, "__wrapped__") else None
+
+    # Default: redirect to a platform-specific scratch dir, not the repo.
+    monkeypatch.delenv("VML_AOT_CACHE", raising=False)
+    bench._redirect_rehearsal_cache("cpu")
+    redirected = aot_cache._cache_dir()
+    assert redirected == os.environ["VML_AOT_CACHE"]
+    assert "bench_cache" not in redirected
+    if repo_default:
+        assert redirected != repo_default
+
+    # An explicit override (e.g. 'off') is respected.
+    monkeypatch.setenv("VML_AOT_CACHE", str(tmp_path / "explicit"))
+    bench._redirect_rehearsal_cache("cpu")
+    assert aot_cache._cache_dir() == str(tmp_path / "explicit")
